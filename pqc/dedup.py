@@ -1,0 +1,334 @@
+"""Deduplication operator bank — exact, n-gram Jaccard, MinHash-LSH,
+SimHash. Grafts the reference's dedupe-then-probe plan shape
+(`banningredients.py:166-276`, SURVEY §3.3): normalize → cheap exact
+screen → expensive similarity only on survivors → rejoin.
+
+Scale notes (the part that matters at 10^12 rows):
+- exact dedup shuffles 8-byte fingerprints, never text/bytes payloads;
+- Jaccard pairs are generated through an inverted shingle index
+  (group-by shingle), with hot-shingle capping as the skew guard;
+- MinHash-LSH bounds candidate pairs by band collisions (sub-quadratic);
+- all hashes are the portable md5-based ``hash64`` so the DuckDB oracle
+  reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pqc.exprs import hash64, hash64_sql_duckdb, minhash_perm, minhash_perm_sql
+from pqc.io import load_table
+from pqc.registry import register
+from pqc.text import NORM_SQL, TOKENS_SQL, norm_text, tokens
+
+_NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
+
+SHINGLE_K = 4  # words per shingle
+JACCARD_THRESHOLD = 0.2
+MINHASH_K = 8  # permutations
+MINHASH_BANDS = 4  # bands of 2 rows each
+
+# ---------------------------------------------------------------------------
+# Exact dedup (bag-of-words key): hash-groupBy on a fingerprint
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         {hash64_sql_duckdb(
+             "array_to_string(list_sort(" + TOKENS_SQL.format(c='text') + "), ' ')"
+         )} AS bow_fp
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT bow_fp, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+FROM f GROUP BY bow_fp HAVING COUNT(*) > 1
+"""
+
+
+@register("exact_dup_groups", oracle=_EXACT_ORACLE)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed on a bag-of-words fingerprint
+    (order-insensitive: sorted-token hash). The shuffle carries only
+    (doc_id, fp) — the 10^12-scale plan; `min(doc_id)` picks the
+    deterministic keeper, mirroring the reference's first-wins dedupe
+    (`artwork_processing_warnings_advisory.py:240-249`)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    bow_fp = hash64(F.array_join(F.array_sort(tokens(F.col("text"))), " "))
+    return (
+        docs.select("doc_id", bow_fp.alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted shingle index
+# ---------------------------------------------------------------------------
+
+
+def _shingles_sql(k: int = SHINGLE_K) -> str:
+    """DuckDB: distinct word-k-gram shingles per doc."""
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS s
+  FROM (SELECT doc_id, {toks} AS t FROM documents WHERE {_NONEMPTY}),
+       UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}
+"""
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_shingles_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, s): distinct word-k-gram shingles, all JVM array ops."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    t = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return (
+        docs.filter(F.size(t) >= k)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-4-gram Jaccard ≥ 0.2.
+
+    Inverted-index self-join: explode distinct shingles, equi-join on
+    the shingle (a Catalyst hash join — never a cross join), count
+    intersections, rejoin per-doc sizes. This is the reference's
+    segment-index pattern (`banningredients.py:172-182`) lifted to
+    pair generation. At 10^12 scale the hot-shingle skew guard is the
+    MinHash variant below (band keys bound collision counts).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jacc = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return jacc.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (sub-quadratic candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_exprs_spark(h_col):
+    return [F.min(minhash_perm(h_col, i + 1, 17 * i + 3)).alias(f"mh{i}") for i in range(MINHASH_K)]
+
+
+_MH_COLS_SQL = ", ".join(
+    f"MIN({minhash_perm_sql('hs', i + 1, 17 * i + 3)}) AS mh{i}" for i in range(MINHASH_K)
+)
+def _band_key_sql(b: int) -> str:
+    inner = f"concat('b{b}:', mh{2 * b}, ':', mh{2 * b + 1})"
+    return f"{hash64_sql_duckdb(inner)} AS band{b}"
+
+
+_BAND_KEYS_SQL = ", ".join(_band_key_sql(b) for b in range(MINHASH_BANDS))
+
+_MINHASH_ORACLE = f"""
+WITH sh AS ({_shingles_sql()}),
+hs AS (SELECT doc_id, {hash64_sql_duckdb('s')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM hs GROUP BY doc_id),
+bands AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+bk AS (
+  SELECT doc_id, band FROM bands
+  UNPIVOT (band FOR b IN (band0, band1, band2, band3))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("minhash_lsh_dedup", oracle=_MINHASH_ORACLE)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) near-dup candidates, verified
+    with exact Jaccard ≥ 0.2.
+
+    The scale path: signatures are 8 bigints/doc; band keys bound the
+    self-join (docs collide only if a band agrees), so candidate count
+    tracks true-duplicate density instead of corpus². Permutations are
+    XOR-salted portable hashes (pqc/exprs.py) so DuckDB reproduces the
+    exact signature. Verification re-joins shingles only for candidate
+    pairs — the screen→confirm shape of `banningredients.py:185-268`.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    hs = sh.select("doc_id", hash64(F.col("s")).alias("hs"))
+    sig = hs.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
+    band_cols = [
+        hash64(
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.col(f"mh{2 * b}").cast("string"),
+                F.lit(":"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            )
+        ).alias(f"band{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_cols)
+    bk = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])).alias(
+            "band"
+        ),
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jacc = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return jacc.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, term-frequency weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tk
+  FROM documents WHERE {_NONEMPTY}
+),
+tf AS (
+  SELECT doc_id, {hash64_sql_duckdb('tk')} AS h, COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, tk
+),
+bits AS (
+  SELECT doc_id, g.b AS b,
+         SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM tf, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS g(b)
+  GROUP BY doc_id, g.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-weighted 32-bit SimHash per document.
+
+    Relational formulation: token-frequency table → explode over bit
+    positions → signed weight sum per bit → recompose the integer.
+    Every step is a hash aggregate (map-side combined); nothing leaves
+    the JVM. Hamming-ball near-dup search over these is the text twin
+    of the phash band join in pqc/constraints/near_dup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.select("doc_id", hash64(F.col("tk")).alias("h"), "cnt")
+    bits = (
+        tf.select(
+            "doc_id",
+            "h",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias("w")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )

@@ -1,0 +1,192 @@
+"""Event-stream operator bank (batch shape; streaming twin in
+pqc/streaming/). Grafts the reference's journal/heartbeat timeline
+thinking (utils/durability.py) into real time-series operators:
+windowed rollups, sessionization, as-of joins, and the KS drift
+statistic required by the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pqc.exprs import dsum, dsum_sql
+from pqc.io import load_table
+from pqc.registry import register
+
+SESSION_GAP_SECONDS = 1800
+
+_HOURLY_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("hourly_event_rollup", oracle=_HOURLY_ORACLE)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming windowed
+    agg in pqc/streaming/windowed.py). Hour emitted as a formatted
+    string so cross-engine timestamp hashing is moot. Single shuffle on
+    (hour, type) with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_SECONDS}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+@register("sessionization", oracle=_SESSION_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session.
+
+    Classic lag + flag-sum sessionize (SURVEY §2.8 I10 maps the
+    reference's OCR-row gap-grouping to exactly this shape). One
+    shuffle on user_id; the window and the final groupBy share the
+    partitioning, so Catalyst plans a single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_SECONDS),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_ASOF_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+  FROM events
+)
+SELECT event_id, user_id, ROUND(value, 6) AS purchase_value,
+       ROUND(last_click_value, 6) AS last_click_value
+FROM t WHERE event_type = 'purchase'
+"""
+
+
+@register("asof_join_last_click", oracle=_ASOF_ORACLE)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the most recent strictly-prior
+    click value for the same user. Spark lacks a native ASOF JOIN;
+    the idiomatic distributed form is last(ignorenulls) over an
+    unbounded-preceding window — one shuffle on the join key, no
+    range-join blowup. (Guide pattern: as-of via window.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_value", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("purchase_value"),
+            F.round("last_click_value", 6).alias("last_click_value"),
+        )
+    )
+
+
+_KS_ORACLE = """
+WITH u AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'view')
+),
+byv AS (SELECT v, SUM(ia) AS na, SUM(ib) AS nb FROM u GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v) AS ca,
+         SUM(nb) OVER (ORDER BY v) AS cb
+  FROM byv
+),
+tot AS (SELECT SUM(ia) AS ta, SUM(ib) AS tb FROM u)
+SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 9) AS ks_stat
+FROM cum, tot
+"""
+
+
+@register("ks_drift_statistic", oracle=_KS_ORACLE)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (click vs view values) —
+    the distribution-drift primitive of the north rule, expressed
+    relationally: group by value (distributed), cumulative counts over
+    the *grouped* domain (small), max |ECDF diff|.
+
+    The single-partition window only ever sees one row per distinct
+    value — at 10^12 rows you'd bucket values first (pqc/constraints/
+    drift.py does exactly that); here values are 2-decimal currency so
+    the domain is already tiny.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ib"),
+    )
+    byv = u.groupBy("v").agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    totals = u.agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+    cum = byv.select(
+        "v",
+        F.sum("na").over(wcum).alias("ca"),
+        F.sum("nb").over(wcum).alias("cb"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ),
+            9,
+        ).alias("ks_stat")
+    )

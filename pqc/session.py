@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the validation engine.
+
+Defaults follow the scale guidance in SURVEY.md §4.2: AQE on (runtime
+re-planning + skew-join backstop), Arrow enabled with a bounded batch
+size (image rows are wide — cap records/batch so Python workers don't
+blow memory), shuffle partitions sized to cores rather than the 200
+default, UTC timezone pinned so DuckDB-oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry image ``bytes`` columns through the decode UDF;
+# keep batches small enough that a batch of ~0.5 MB images stays well
+# under worker memory (SURVEY.md §7.4).
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    parallelism: int | None = None,
+    app_name: str = "pqc",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults.
+
+    ``parallelism`` maps to ``local[N]`` — the sandbox stand-in for
+    executor count; the scaling harness calls this with 8 and 32.
+    """
+    n = parallelism or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("PQC_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,233 @@
+"""Similarity-search operator bank over `embeddings` (vec_id,
+embedding: array<float>, label).
+
+Brute-force cosine top-k is the correctness baseline; IVF bucketing is
+the scale path (search only the query's cluster). All dot products are
+computed with exact decimal accumulation (pqc/exprs.py ``dsum``
+rationale) so the DuckDB oracle matches bit-for-bit — no float-sum
+order sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pqc.io import load_table
+from pqc.registry import register
+
+KNN_K = 10
+N_QUERIES = 10
+IVF_N_CENTROIDS = 8
+IVF_QUERY_LO, IVF_QUERY_HI = 8, 18
+
+_DEC = "decimal(28,12)"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact (order-independent) dot product of two array<float> cols.
+
+    Elements are widened float→double (exact), multiplied pairwise in
+    double (deterministic), accumulated in decimal (associative; the
+    (29,12) sum is cast back to (28,12) losslessly — no scale rounding
+    occurs because precision stays under 38). Stays array-local — no
+    explode, no shuffle.
+    """
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC)
+    ).cast("double")
+
+
+def _norm2(a: Column) -> Column:
+    return _dot(a, a)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dot` via positional list indexing."""
+    return (
+        f"(SELECT CAST(SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS DECIMAL(38,12))) AS DOUBLE)"
+        f" FROM UNNEST(generate_series(1, len({a}))) AS g(i))"
+    )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+scored AS (
+  SELECT qid, cid, label,
+         {_dot_sql('qe', 'ce')} /
+           (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})) AS cos
+  FROM q JOIN c ON qid <> cid
+)
+SELECT qid, cid, label, ROUND(cos, 8) AS cosine, rk FROM (
+  SELECT qid, cid, label, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+"""
+
+
+@register("knn_brute_force_cosine", oracle=_KNN_ORACLE)
+def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    all candidates — a broadcast nested-loop that scales linearly in
+    corpus size and is the exactness baseline for the IVF variant.
+    Dot products run as JVM array folds (zip_with + aggregate), not
+    UDFs; ranking is one window shuffle on qid.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            _dot(F.col("qe"), F.col("ce"))
+            / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ce")))),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select(
+            "qid", "cid", "label", F.col("cos"), F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= KNN_K)
+        .select("qid", "cid", "label", F.round("cos", 8).alias("cosine"), "rk")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
+              FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
+                      (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                       * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
+                      cent.centroid_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rk = 1
+),
+q AS (SELECT e.vec_id AS qid, e.embedding AS qe, a.centroid_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}),
+bucket AS (SELECT e.vec_id AS cid, e.embedding AS ce, a.centroid_id
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id)
+SELECT qid, centroid_id, cid, ROUND(cos, 8) AS cosine, rk FROM (
+  SELECT q.qid, q.centroid_id, b.cid,
+         {_dot_sql('q.qe', 'b.ce')} /
+           (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce', 'b.ce')})) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_dot_sql('q.qe', 'b.ce')} /
+             (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce', 'b.ce')})) DESC,
+             b.cid ASC
+         ) AS rk
+  FROM q JOIN bucket b ON q.centroid_id = b.centroid_id AND q.qid <> b.cid
+) WHERE rk <= 5
+"""
+
+
+@register("ivf_ann_topk", oracle=_IVF_ORACLE)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbours: assign every vector to
+    its nearest of 8 deterministic centroids (the first 8 vectors),
+    then answer queries by searching only the query's bucket.
+
+    The scale story: assignment is a broadcast join against K
+    centroids (linear scan, no shuffle of embeddings beyond the
+    bucket-id attach); search joins bucket-mates on centroid_id — the
+    candidate set shrinks ~K× vs brute force. Same two-stage
+    screen→confirm shape as the reference prescreen (SURVEY §3.3).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+
+    def cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+    wassign = W.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("centroid_id").asc()
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("acos", cos(F.col("embedding"), F.col("ce")))
+        .select(
+            "vec_id", "centroid_id", F.row_number().over(wassign).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = (
+        emb.join(assign, "vec_id")
+        .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            "centroid_id",
+        )
+    )
+    bucket = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "centroid_id"
+    )
+    scored = (
+        bucket.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cos(F.col("qe"), F.col("ce")))
+    )
+    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select(
+            "qid", "centroid_id", "cid", "cos", F.row_number().over(wtop).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .select("qid", "centroid_id", "cid", F.round("cos", 8).alias("cosine"), "rk")
+    )
+
+
+_NORM_ORACLE = f"""
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 8)
+         AS avg_norm,
+       ROUND(MIN(nrm), 8) AS min_norm,
+       ROUND(MAX(nrm), 8) AS max_norm
+FROM (SELECT label, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings)
+GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile — the stats-layer entry for
+    vector columns (degenerate-embedding detection at corpus scale:
+    zero / exploding norms are data-quality violations)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_norm2(F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("nrm").cast(_DEC)).cast("double") / F.count(F.lit(1)), 8
+            ).alias("avg_norm"),
+            F.round(F.min("nrm"), 8).alias("min_norm"),
+            F.round(F.max("nrm"), 8).alias("max_norm"),
+        )
+    )

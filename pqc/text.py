@@ -1,0 +1,173 @@
+"""Text-analysis operator bank over `documents` — the training-data
+pipeline primitives (language-ID, quality scoring, token counting,
+fingerprinting) plus the reference's normalisation machinery
+(SURVEY §2.2 P2-P6) expressed as Column builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pqc.exprs import davg_sql, hash64, hash64_sql_duckdb
+from pqc.io import load_table
+from pqc.registry import register
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# ---------------------------------------------------------------------------
+# Normalisation column builders (reference SURVEY §2.2; reused by dedup)
+# ---------------------------------------------------------------------------
+
+
+def norm_text(col: Column) -> Column:
+    """P3-style normalisation: lower + whitespace collapse + trim.
+
+    (Mojibake repair P4 and accent folding are applied by
+    ``norm_caption`` in pqc/normalize.py for the images table; the
+    synthetic documents corpus is ASCII.)
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+TOKENS_SQL = f"string_split({NORM_SQL}, ' ')"
+
+_NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = f"""
+WITH t AS (
+  SELECT lang, len({TOKENS_SQL.format(c='text')}) AS n_tokens
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {davg_sql('n_tokens')} AS avg_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+@register("token_count_stats", oracle=_TOKCOUNT_ORACLE)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per language — all JVM-side array ops
+    (split + size), no UDF; single low-cardinality shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    from pqc.exprs import davg
+
+    return (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            davg(F.col("n_tokens")).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+_STOP_LIST_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter({TOKENS_SQL.format(c='text')}, x -> x IN {_STOP_LIST_SQL}))
+           AS n_stop,
+         len({TOKENS_SQL.format(c='text')}) AS n_tok
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT lang,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.05 THEN 'en' ELSE 'other' END
+         AS predicted,
+       COUNT(*) AS n_docs
+FROM t GROUP BY 1, 2
+"""
+
+
+@register("lang_id_confusion", oracle=_LANGID_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword-ratio) vs the labeled lang —
+    emitted as a confusion rollup. The n-gram scorer runs entirely in
+    codegen'd array expressions (filter lambda), no Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = tokens(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_tok = F.size(toks)
+    predicted = F.when(
+        n_stop.cast("double") / n_tok >= 0.05, F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {TOKENS_SQL.format(c='text')} AS tok
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT doc_id,
+       ROUND(
+         0.4 * LEAST(1.0, CAST(len(tok) AS DOUBLE) / 50)
+         + 0.3 * (CAST(len(list_filter(tok, x -> x IN {_STOP_LIST_SQL})) AS DOUBLE)
+                  / len(tok))
+         + 0.3 * (CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)),
+         6) AS quality
+FROM t
+"""
+
+
+@register("quality_score", oracle=_QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length + stopword-ratio + lexical
+    diversity, the deterministic core of the reference's structure
+    acceptance gates (SURVEY §2.8 I7) re-targeted at corpus curation.
+    Pure array expressions; embarrassingly parallel (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    tok = tokens(F.col("text"))
+    n = F.size(tok).cast("double")
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_uniq = F.size(F.array_distinct(tok)).cast("double")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n / 50) + 0.3 * (n_stop / n) + 0.3 * (n_uniq / n)
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       {hash64_sql_duckdb(NORM_SQL.format(c='text'))} AS fingerprint
+FROM documents WHERE {_NONEMPTY}
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: portable 60-bit md5 hash of normalized text
+    (the cross-engine-deterministic stand-in for a rolling hash; see
+    pqc/exprs.py). The building block of exact dedup at 10^12 scale:
+    dedup shuffles 8-byte fingerprints, never the payloads."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return docs.select("doc_id", hash64(norm_text(F.col("text"))).alias("fingerprint"))

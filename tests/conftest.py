@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pqc.session import get_spark  # noqa: E402
+
+SF_DIR_SMALL = "/root/testdata/sf0.001"
+SF_DIR_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(parallelism=8, app_name="pqc-tests")
+    yield s
+    s.stop()
