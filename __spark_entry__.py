@@ -18,14 +18,15 @@ sys.path.insert(0, "/root/repo")
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: constraint-suite verdict rollup over sf0.001.
 
-    Runs the engine's validation constraints (uniqueness, referential
-    integrity, range checks, stats profile) against the testdata tables
-    and returns one verdict row per constraint — the per-partition
-    pass/fail surface of the north rule.
+    Runs the full images-table constraint suite (uniqueness,
+    referential, ranges, pixel integrity, near-dup, text rules) over
+    the deterministic fixture plus the testdata constraint checks, and
+    returns one verdict row per constraint — the pass/fail surface of
+    the north rule.
     """
-    from pqc.engine import testdata_verdicts
+    from pqc.engine import flagship_verdicts
 
-    return testdata_verdicts(spark, "/root/testdata/sf0.001")
+    return flagship_verdicts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

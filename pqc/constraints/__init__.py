@@ -1,0 +1,48 @@
+"""Declarative constraint suite over the north-star images table.
+
+Each constraint is a plan-builder: ``fn(ctx) -> violations DataFrame``
+with the uniform columns ``(image_id, part, constraint, detail)`` —
+the engine's typed version of the reference's failed-rows output
+(`app.py:1516-1521`). The Suite unions all violation plans lazily and
+derives per-partition verdicts in a single action (SURVEY §3.1 "Spark
+shape").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_COLS = ("image_id", "part", "constraint", "detail")
+
+
+@dataclass
+class SuiteContext:
+    """Shared inputs for constraint plan-builders."""
+
+    images: DataFrame
+    image_dim: DataFrame | None = None
+    baseline: DataFrame | None = None
+    extras: dict = field(default_factory=dict)
+    _integrity: DataFrame | None = None
+
+    def integrity(self) -> DataFrame:
+        """Decode-island output, computed once and cached (it is the
+        only expensive Python stage; every consumer shares it)."""
+        if self._integrity is None:
+            from pqc.image.decode import decode_integrity
+
+            self._integrity = decode_integrity(self.images)
+            self._integrity.persist()
+        return self._integrity
+
+
+def as_violation(df: DataFrame, constraint: str, detail_col) -> DataFrame:
+    return df.select(
+        F.col("image_id"),
+        F.col("part"),
+        F.lit(constraint).alias("constraint"),
+        detail_col.cast("string").alias("detail"),
+    )

@@ -1,0 +1,53 @@
+"""Range / domain / null constraints — pure pushed-down predicates.
+
+Zero-shuffle scan filters (parquet row-group pruning applies at scale).
+North-rule items: format membership, dimension ranges, payload and
+caption presence. Reference analogue: structure acceptance gates
+(SURVEY §2.8 I7) and the shelf-label UOM set check (`prompts.py:1031-1038`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pqc.constraints import SuiteContext, as_violation
+from pqc.image.codec import SUPPORTED_FORMATS
+
+W_MIN, W_MAX = 1, 4096
+H_MIN, H_MAX = 1, 4096
+
+
+def dim_range_violations(ctx: SuiteContext) -> DataFrame:
+    bad = ctx.images.filter(
+        F.col("w").isNull()
+        | F.col("h").isNull()
+        | (F.col("w") < W_MIN)
+        | (F.col("w") > W_MAX)
+        | (F.col("h") < H_MIN)
+        | (F.col("h") > H_MAX)
+    )
+    return as_violation(
+        bad,
+        f"range:w,h in [{W_MIN},{W_MAX}]",
+        F.concat_ws("×", F.col("w").cast("string"), F.col("h").cast("string")),
+    )
+
+
+def fmt_domain_violations(ctx: SuiteContext) -> DataFrame:
+    bad = ctx.images.filter(
+        F.col("fmt").isNull() | ~F.col("fmt").isin(*sorted(SUPPORTED_FORMATS))
+    )
+    return as_violation(bad, "domain:fmt", F.coalesce(F.col("fmt"), F.lit("<null>")))
+
+
+def payload_present_violations(ctx: SuiteContext) -> DataFrame:
+    bad = ctx.images.filter(F.col("bytes").isNull())
+    return as_violation(bad, "not_null:bytes", F.lit("null payload"))
+
+
+def caption_present_violations(ctx: SuiteContext) -> DataFrame:
+    bad = ctx.images.filter(
+        F.col("caption").isNull() | (F.length(F.trim(F.col("caption"))) == 0)
+    )
+    return as_violation(bad, "not_null:caption", F.lit("missing caption"))

@@ -1,19 +1,124 @@
-"""Suite runner: assemble constraint verdicts into one DataFrame.
+"""Suite runner: assemble constraint verdicts into DataFrames.
 
 The reference emits, per run, a results table plus a failed-rows table
-(`app.py:1494-1521`). The engine's equivalent surface is:
-``verdicts`` (one row per constraint × partition: checked/violations/
-passed) and ``violations`` (the offending rows themselves). This module
-provides the generic assembly; constraint plan-builders live in
-pqc/constraints/.
+(`app.py:1494-1521`). The engine's surface is:
+- ``violations``: one row per (record, constraint) failure —
+  `(image_id, part, constraint, detail)`;
+- ``verdicts``: one row per (partition, constraint) —
+  `(part, constraint, n_checked, n_violations, passed)`;
+- table-level checks (schema, drift) reported alongside.
+
+All constraint plans are lazy; a single action materializes the
+violation union, and the verdict rollup reuses it via cache.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pqc.constraints import SuiteContext
+
 VERDICT_COLS = ("constraint", "n_checked", "n_violations", "passed")
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame  # (image_id, part, constraint, detail)
+    verdicts: DataFrame  # (part, constraint, n_checked, n_violations, passed)
+    schema_problems: list[str]
+    drift: DataFrame | None
+
+
+class ValidationSuite:
+    """The default constraint suite over the north-star images table."""
+
+    def __init__(
+        self,
+        include_integrity: bool = True,
+        include_near_dup: bool = True,
+        include_text: bool = True,
+    ) -> None:
+        from pqc.constraints import (
+            integrity,
+            near_dup,
+            ranges,
+            referential,
+            text_rules,
+            uniqueness,
+        )
+
+        self._builders = [
+            ("uniqueness:image_id", uniqueness.violations),
+            ("referential:image_id->image_dim", referential.violations),
+            ("range:w,h in [1,4096]", ranges.dim_range_violations),
+            ("domain:fmt", ranges.fmt_domain_violations),
+            ("not_null:bytes", ranges.payload_present_violations),
+            ("not_null:caption", ranges.caption_present_violations),
+        ]
+        if include_integrity:
+            self._builders += [
+                ("integrity:decode", integrity.decode_violations),
+                ("integrity:two_pass_agreement", integrity.two_pass_violations),
+                ("integrity:dims_cross_check", integrity.dims_cross_violations),
+                ("integrity:psnr>=40dB", integrity.psnr_violations),
+                ("integrity:phash_cross_check", integrity.phash_cross_violations),
+            ]
+        if include_near_dup:
+            self._builders.append((near_dup.NAME, near_dup.violations))
+        if include_text:
+            self._builders += [
+                ("text:banned_ingredient", text_rules.banned_violations),
+            ]
+
+    @property
+    def constraint_names(self) -> list[str]:
+        names = [n for n, _ in self._builders]
+        if any(n == "text:banned_ingredient" for n in names):
+            names.append("text:needs_review")  # emitted by the same builder
+        return names
+
+    def violation_plan(self, ctx: SuiteContext) -> DataFrame:
+        plans = [fn(ctx) for _, fn in self._builders]
+        out = plans[0]
+        for p in plans[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def run(self, ctx: SuiteContext, drift_column: str = "w") -> SuiteResult:
+        from pqc.constraints.drift import drift_verdict
+        from pqc.constraints.schema_check import expect_schema
+
+        schema_problems = expect_schema(ctx.images)
+        violations = self.violation_plan(ctx)
+        violations.persist()
+
+        parts = ctx.images.groupBy("part").agg(F.count(F.lit(1)).alias("n_checked"))
+        names = ctx.images.sparkSession.createDataFrame(
+            [(n,) for n in self.constraint_names], "constraint string"
+        )
+        vcounts = violations.groupBy("part", "constraint").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        verdicts = (
+            parts.crossJoin(F.broadcast(names))
+            .join(vcounts, ["part", "constraint"], "left")
+            .select(
+                "part",
+                "constraint",
+                "n_checked",
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+                (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+            )
+        )
+        drift = (
+            drift_verdict(ctx.images, ctx.baseline, drift_column)
+            if ctx.baseline is not None
+            else None
+        )
+        return SuiteResult(violations, verdicts, schema_problems, drift)
 
 
 def verdict_row(df_checked: DataFrame, df_violations: DataFrame, name: str) -> DataFrame:
@@ -31,8 +136,32 @@ def verdict_row(df_checked: DataFrame, df_violations: DataFrame, name: str) -> D
     )
 
 
+def flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full images-suite verdict rollup (per constraint,
+    global) unioned with the testdata constraint verdicts — the
+    engine's whole surface in one stable-schema DataFrame."""
+    from pqc.constraints import SuiteContext
+    from pqc.fixtures import cached_images_path, generate_image_dim
+
+    images = spark.read.parquet(cached_images_path(spark, 2000))
+    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
+    res = ValidationSuite().run(ctx)
+    n_rows = images.count()
+    image_verdicts = (
+        res.verdicts.groupBy("constraint")
+        .agg(F.sum("n_violations").alias("n_violations"))
+        .select(
+            F.concat(F.lit("images/"), F.col("constraint")).alias("constraint"),
+            F.lit(n_rows).cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    return testdata_verdicts(spark, sf_dir).unionByName(image_verdicts)
+
+
 def testdata_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship verdict rollup over the driver testdata tables."""
+    """Constraint verdict rollup over the driver testdata tables."""
     from pqc.io import load_table
 
     docs = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,261 @@
+"""Deterministic synthetic fixture tables (FIXTURES.md, seed 42).
+
+The north-star input table (`image_id, bytes, w, h, fmt, caption,
+phash` + partition column) is synthesized distributively: every row is
+a pure function of its index, so generation runs as ``mapInPandas``
+over ``spark.range(n)`` — no driver-side loop, no cross-row state
+(near-duplicates re-derive their base row's pixels from the base
+index). Anomalies are injected at fixed index residues so tests can
+compute exact expected violation sets.
+
+Anomaly schedule (index i, n rows):
+- ``i % 1000 == 7``  → duplicate image_id (copies id of i-7)   ~0.1%
+- ``i % 500  == 11`` → corrupted bytes (truncated 50%)         ~0.2%
+- ``i % 1000 == 13`` → declared (w,h) ≠ actual pixel dims      ~0.1%
+- ``i % 200  == 17`` → out-of-range declared w (0, -1, 10000)  ~0.5%
+- ``i % 333  == 19`` → invalid fmt ("bmp", "", null)           ~0.3%
+- ``i % 100  == 23`` → empty/null caption                      ~1%
+- ``i % 200  == 29`` → mojibake artifact in caption            ~0.5%
+- ``i % 200  == 31`` → near-duplicate pixels of row i-1        ~0.5%
+- ``i % 500  == 37`` → stored phash corrupted (2 bits flipped) ~0.2%
+- ``i % 500  == 3``  → image_id held out of the dim table (FK violation)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pqc.image.codec import encode
+from pqc.image.phash import phash64
+
+SEED = 42
+N_PARTS = 16
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),  # generating index (test oracle aid)
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("part", T.IntegerType(), False),
+    ]
+)
+
+_SIZES = np.array([32, 64, 128, 256])
+_SIZE_WEIGHTS = np.array([0.2, 0.3, 0.4, 0.1])
+
+# Caption vocabulary mirrors the reference's constraint dims: banned
+# synonyms (`banningredients.py:23-46`), green claims, plus the
+# substring-inside-token trap ("tea" ∉ "stearate", `banningredients.py:415`).
+BANNED_SYNONYMS = (
+    "aristolochia",
+    "comfrey",
+    "kava kava",
+    "ephedra",
+    "yohimbe",
+    "e 150 d",
+    "e-128",
+    "germanium",
+)
+CLAIM_PHRASES = (
+    "eco friendly",
+    "100% recyclable",
+    "carbon neutral",
+    "biodegradable packaging",
+    "sustainably sourced",
+)
+_FILLER = (
+    "water",
+    "sugar",
+    "salt",
+    "magnesium stearate",
+    "citric acid",
+    "natural flavouring",
+    "maltodextrin",
+    "rice flour",
+    "pea protein",
+    "sunflower oil",
+)
+
+
+def _rng(i: int, salt: int = 0) -> np.random.Generator:
+    return np.random.default_rng(SEED * 1_000_003 + i * 7 + salt)
+
+
+def _dims_for(i: int, shift: int = 0) -> tuple[int, int]:
+    rng = _rng(i, salt=1)
+    sizes = _SIZES + 32 * shift  # drift variant shifts the size distribution
+    w = int(rng.choice(sizes, p=_SIZE_WEIGHTS))
+    h = int(rng.choice(sizes, p=_SIZE_WEIGHTS))
+    return w, h
+
+
+def pixels_for(i: int, shift: int = 0) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 gradient+noise image for index i."""
+    w, h = _dims_for(i, shift)
+    rng = _rng(i, salt=2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        (xx * 255.0 / max(w - 1, 1))[..., None] * np.array([1.0, 0.5, 0.25])
+        + (yy * 255.0 / max(h - 1, 1))[..., None] * np.array([0.25, 0.5, 1.0])
+    ) / 2
+    noise = rng.normal(0, 12.0, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def caption_for(i: int) -> str | None:
+    if i % 100 == 23:
+        return None if (i // 100) % 2 == 0 else ""
+    rng = _rng(i, salt=3)
+    fillers = rng.choice(len(_FILLER), size=4, replace=False)
+    parts = [_FILLER[j] for j in fillers]
+    if i % 10 == 1:  # exact banned-synonym hit
+        parts.insert(1, BANNED_SYNONYMS[i % len(BANNED_SYNONYMS)])
+    if i % 50 == 26:  # fuzzy-only hit: one edit, canonical disjoint
+        syn = BANNED_SYNONYMS[(i + 3) % len(BANNED_SYNONYMS)]  # from exact rows
+        parts.insert(1, syn[:-1] + "x" if len(syn) > 3 else syn + "x")
+    text = "Ingredients: " + ", ".join(parts) + "."
+    if i % 25 == 9:  # green-claim phrase
+        text += " " + CLAIM_PHRASES[i % len(CLAIM_PHRASES)] + "."
+    if i % 200 == 29:  # mojibake artifact (P4)
+        text += " donâ€™t exceed the stated dose"
+    return text
+
+
+def _part_for(image_id: str) -> int:
+    return int(hashlib.md5(image_id.encode()).hexdigest()[:8], 16) % N_PARTS
+
+
+def row_for(i: int, shift: int = 0) -> dict:
+    """Generate one fixture row — a pure function of the index."""
+    image_id = f"img_{(i - 7) if (i % 1000 == 7 and i >= 7) else i:012d}"
+    fmt = "lsy" if (i % 100) < 85 else "png"
+    if i % 200 == 31 and i >= 1:  # near-duplicate of row i-1
+        base = pixels_for(i - 1, shift)
+        rng = _rng(i, salt=4)
+        flip = rng.integers(0, 2, size=base.shape, dtype=np.uint8)
+        arr = np.clip(base.astype(np.int16) + flip.astype(np.int16) - 0, 0, 255).astype(
+            np.uint8
+        )
+    else:
+        arr = pixels_for(i, shift)
+    h, w = arr.shape[:2]
+    data = encode(arr, fmt, quality=95)
+    ph = phash64(arr)
+    if i % 500 == 37:  # stored phash disagrees with the pixels (24 bits
+        ph ^= 0xFFFF00FF  # flipped — far above the lossy tolerance of 12)
+    if i % 500 == 11:  # corrupted payload
+        data = data[: len(data) // 2]
+    if i % 1000 == 13:  # declared dims lie about the payload
+        w, h = w * 2, h * 2
+    if i % 200 == 17:  # out-of-range declared width
+        w = (0, -1, 10000)[(i // 200) % 3]
+    fmt_out: str | None = fmt
+    if i % 333 == 19:  # invalid declared format
+        fmt_out = ("bmp", "", None)[(i // 333) % 3]
+    return {
+        "seq": i,
+        "image_id": image_id,
+        "bytes": data,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt_out,
+        "caption": caption_for(i),
+        "phash": np.int64(ph),
+        "part": np.int32(_part_for(image_id)),
+    }
+
+
+def generate_images(
+    spark: SparkSession, n_rows: int, shift: int = 0, n_tasks: int | None = None
+) -> DataFrame:
+    """Distributed fixture generation: mapInPandas over spark.range.
+
+    Each task generates its index range independently (rows are pure
+    functions of the index) — the same pattern a 10^12-row synthetic
+    load would use, just bigger numbers.
+    """
+    n_tasks = n_tasks or max(8, n_rows // 2000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_for(int(i), shift) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_rows, numPartitions=n_tasks)
+        .mapInPandas(gen, schema=IMAGE_SCHEMA)
+    )
+
+
+def generate_image_dim(images: DataFrame) -> DataFrame:
+    """Referential dim: every image_id except the deterministic 0.2%
+    holdout (seq % 500 == 3) — those fact rows become FK violations
+    (reference analogue: UID resolve, `app.py:1291-1297`)."""
+    from pyspark.sql import functions as F
+
+    return (
+        images.filter(F.col("seq") % 500 != 3)
+        .select("image_id")
+        .dropDuplicates()
+        .withColumn(
+            "source",
+            F.element_at(
+                F.array(F.lit("upload"), F.lit("feed"), F.lit("scrape")),
+                (F.crc32(F.col("image_id")) % 3 + 1).cast("int"),
+            ),
+        )
+    )
+
+
+def synonyms_pdf() -> pd.DataFrame:
+    """Banned/restricted vocabulary dim (mirrors
+    `data/banned_restricted_ingredients.csv` shape)."""
+    rows = []
+    for k, canon in enumerate(BANNED_SYNONYMS):
+        rows.append(
+            {
+                "canonical": canon,
+                "e_number": f"E{100 + k}" if k % 2 == 0 else "",
+                "type": "Banned" if k % 3 != 0 else "Restricted",
+                "synonym": canon,
+            }
+        )
+        rows.append(
+            {
+                "canonical": canon,
+                "e_number": f"E{100 + k}" if k % 2 == 0 else "",
+                "type": "Banned" if k % 3 != 0 else "Restricted",
+                "synonym": canon.replace(" ", "-"),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+_FIXTURE_CACHE: dict[tuple[int, int], str] = {}
+
+
+def cached_images_path(spark: SparkSession, n_rows: int, shift: int = 0) -> str:
+    """Generate once per (n_rows, shift) and persist as Iceberg-layout
+    partitioned Parquet under /tmp; reused across queries/tests."""
+    import os
+
+    key = (n_rows, shift)
+    path = f"/tmp/pqc_fixtures/images_n{n_rows}_s{shift}"
+    if key not in _FIXTURE_CACHE:
+        if not os.path.exists(path + "/_SUCCESS"):
+            generate_images(spark, n_rows, shift).write.mode("overwrite").partitionBy(
+                "part"
+            ).parquet(path)
+        _FIXTURE_CACHE[key] = path
+    return _FIXTURE_CACHE[key]
