@@ -27,6 +27,22 @@ class SuiteContext:
     baseline: DataFrame | None = None
     extras: dict = field(default_factory=dict)
     _integrity: DataFrame | None = None
+    _meta: DataFrame | None = None
+
+    def meta(self) -> DataFrame:
+        """Payload-free projection of the images table, cached once.
+
+        Every constraint except the decode island works on metadata
+        only; sharing one cached projection means the wide ``bytes``
+        column is scanned exactly once (by the decode island) per run
+        — the "never shuffle bytes" rule (SURVEY §7.4)."""
+        if self._meta is None:
+            cols = [c for c in self.images.columns if c != "bytes"]
+            self._meta = self.images.select(
+                *cols, F.col("bytes").isNull().alias("bytes_is_null")
+            )
+            self._meta.persist()
+        return self._meta
 
     def integrity(self) -> DataFrame:
         """Decode-island output, computed once and cached (it is the

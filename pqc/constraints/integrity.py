@@ -62,6 +62,66 @@ def psnr_violations(ctx: SuiteContext) -> DataFrame:
     )
 
 
+def combined_violations(ctx: SuiteContext) -> DataFrame:
+    """All five integrity gates in ONE pass over the cached decode
+    island output (same collapse rationale as ranges.combined_violations)."""
+    d = _decodable(ctx)
+
+    def entry(cond, name, detail):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(name).alias("constraint"), detail.cast("string").alias("detail")
+            ),
+        )
+
+    ok = F.col("decode_ok")
+    checks = F.array(
+        entry(
+            ~ok & (F.col("decode_error") != "null payload"),
+            "integrity:decode",
+            F.col("decode_error"),
+        ),
+        entry(ok & ~F.col("two_pass_ok"), "integrity:two_pass_agreement", F.lit("passes disagree")),
+        entry(
+            ok & ~F.col("dims_match"),
+            "integrity:dims_cross_check",
+            F.concat(
+                F.lit("declared "),
+                F.col("w").cast("string"),
+                F.lit("×"),
+                F.col("h").cast("string"),
+                F.lit(" actual "),
+                F.col("actual_w").cast("string"),
+                F.lit("×"),
+                F.col("actual_h").cast("string"),
+            ),
+        ),
+        entry(
+            ok & ~F.col("psnr_ok"),
+            "integrity:psnr>=40dB",
+            F.concat(F.lit("psnr_regen="), F.round(F.col("psnr_regen"), 2).cast("string")),
+        ),
+        entry(
+            ok & ~F.col("phash_match"),
+            "integrity:phash_cross_check",
+            F.concat(
+                F.lit("stored="),
+                F.col("phash").cast("string"),
+                F.lit(" recomputed="),
+                F.col("phash_recomputed").cast("string"),
+                F.lit(" hamming="),
+                F.col("phash_hamming").cast("string"),
+            ),
+        ),
+    )
+    return d.select(
+        "image_id",
+        "part",
+        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"),
+    ).select("image_id", "part", "v.constraint", "v.detail")
+
+
 def phash_cross_violations(ctx: SuiteContext) -> DataFrame:
     bad = _decodable(ctx).filter(F.col("decode_ok") & ~F.col("phash_match"))
     return as_violation(

@@ -83,7 +83,7 @@ def candidate_pairs(images: DataFrame) -> DataFrame:
 
 
 def violations(ctx: SuiteContext) -> DataFrame:
-    pairs = candidate_pairs(ctx.images)
+    pairs = candidate_pairs(ctx.meta())
     return pairs.select(
         F.col("image_id_b").alias("image_id"),
         F.col("part_b").alias("part"),

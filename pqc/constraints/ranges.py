@@ -19,7 +19,7 @@ H_MIN, H_MAX = 1, 4096
 
 
 def dim_range_violations(ctx: SuiteContext) -> DataFrame:
-    bad = ctx.images.filter(
+    bad = ctx.meta().filter(
         F.col("w").isNull()
         | F.col("h").isNull()
         | (F.col("w") < W_MIN)
@@ -35,19 +35,63 @@ def dim_range_violations(ctx: SuiteContext) -> DataFrame:
 
 
 def fmt_domain_violations(ctx: SuiteContext) -> DataFrame:
-    bad = ctx.images.filter(
+    bad = ctx.meta().filter(
         F.col("fmt").isNull() | ~F.col("fmt").isin(*sorted(SUPPORTED_FORMATS))
     )
     return as_violation(bad, "domain:fmt", F.coalesce(F.col("fmt"), F.lit("<null>")))
 
 
 def payload_present_violations(ctx: SuiteContext) -> DataFrame:
-    bad = ctx.images.filter(F.col("bytes").isNull())
+    bad = ctx.meta().filter(F.col("bytes_is_null"))
     return as_violation(bad, "not_null:bytes", F.lit("null payload"))
 
 
 def caption_present_violations(ctx: SuiteContext) -> DataFrame:
-    bad = ctx.images.filter(
+    bad = ctx.meta().filter(
         F.col("caption").isNull() | (F.length(F.trim(F.col("caption"))) == 0)
     )
     return as_violation(bad, "not_null:caption", F.lit("missing caption"))
+
+
+def combined_violations(ctx: SuiteContext) -> DataFrame:
+    """All four scan-predicate checks in ONE pass over the metadata
+    cache: an array of (constraint, detail) structs gated by `when`,
+    null entries filtered, exploded. Collapses four scheduled plans
+    into one — on a 1000-executor cluster the four-plan version is
+    fine (scans dominate), but plan-count latency dominates small
+    batches and per-partition resume runs."""
+    m = ctx.meta()
+    dim_bad = (
+        F.col("w").isNull()
+        | F.col("h").isNull()
+        | (F.col("w") < W_MIN)
+        | (F.col("w") > W_MAX)
+        | (F.col("h") < H_MIN)
+        | (F.col("h") > H_MAX)
+    )
+    fmt_bad = F.col("fmt").isNull() | ~F.col("fmt").isin(*sorted(SUPPORTED_FORMATS))
+    cap_bad = F.col("caption").isNull() | (F.length(F.trim(F.col("caption"))) == 0)
+
+    def entry(cond, name, detail):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(name).alias("constraint"), detail.cast("string").alias("detail")
+            ),
+        )
+
+    checks = F.array(
+        entry(
+            dim_bad,
+            f"range:w,h in [{W_MIN},{W_MAX}]",
+            F.concat_ws("×", F.col("w").cast("string"), F.col("h").cast("string")),
+        ),
+        entry(fmt_bad, "domain:fmt", F.coalesce(F.col("fmt"), F.lit("<null>"))),
+        entry(F.col("bytes_is_null"), "not_null:bytes", F.lit("null payload")),
+        entry(cap_bad, "not_null:caption", F.lit("missing caption")),
+    )
+    return m.select(
+        "image_id",
+        "part",
+        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"),
+    ).select("image_id", "part", "v.constraint", "v.detail")

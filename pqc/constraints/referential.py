@@ -20,7 +20,7 @@ def violations(ctx: SuiteContext) -> DataFrame:
         return ctx.images.sparkSession.createDataFrame(
             [], "image_id string, part int, constraint string, detail string"
         )
-    orphans = ctx.images.join(
+    orphans = ctx.meta().join(
         ctx.image_dim.select("image_id"), "image_id", "left_anti"
     )
     return as_violation(orphans, NAME, F.lit("image_id not present in image_dim"))

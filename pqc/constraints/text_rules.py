@@ -84,7 +84,7 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
     (levenshtein ratio ≥ 0.85, score = 100*ratio). Best evidence per
     (row, canonical) with exact beating fuzzy — `banningredients.py:216-219`.
     """
-    images = ctx.images.filter(F.col("caption").isNotNull())
+    images = ctx.meta().filter(F.col("caption").isNotNull())
     segs = images.select(
         "image_id",
         "part",

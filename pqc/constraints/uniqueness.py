@@ -18,7 +18,7 @@ NAME = "uniqueness:image_id"
 
 
 def violations(ctx: SuiteContext) -> DataFrame:
-    images = ctx.images
+    images = ctx.meta()
     dups = (
         images.groupBy("image_id")
         .agg(F.count(F.lit(1)).alias("dup_count"))

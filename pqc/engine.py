@@ -50,38 +50,44 @@ class ValidationSuite:
             uniqueness,
         )
 
+        # combined plan-builders (each may emit several constraint names;
+        # the filter-type checks are collapsed into single passes — see
+        # ranges.combined_violations for the latency rationale)
         self._builders = [
-            ("uniqueness:image_id", uniqueness.violations),
-            ("referential:image_id->image_dim", referential.violations),
-            ("range:w,h in [1,4096]", ranges.dim_range_violations),
-            ("domain:fmt", ranges.fmt_domain_violations),
-            ("not_null:bytes", ranges.payload_present_violations),
-            ("not_null:caption", ranges.caption_present_violations),
+            uniqueness.violations,
+            referential.violations,
+            ranges.combined_violations,
+        ]
+        self._names = [
+            "uniqueness:image_id",
+            "referential:image_id->image_dim",
+            "range:w,h in [1,4096]",
+            "domain:fmt",
+            "not_null:bytes",
+            "not_null:caption",
         ]
         if include_integrity:
-            self._builders += [
-                ("integrity:decode", integrity.decode_violations),
-                ("integrity:two_pass_agreement", integrity.two_pass_violations),
-                ("integrity:dims_cross_check", integrity.dims_cross_violations),
-                ("integrity:psnr>=40dB", integrity.psnr_violations),
-                ("integrity:phash_cross_check", integrity.phash_cross_violations),
+            self._builders.append(integrity.combined_violations)
+            self._names += [
+                "integrity:decode",
+                "integrity:two_pass_agreement",
+                "integrity:dims_cross_check",
+                "integrity:psnr>=40dB",
+                "integrity:phash_cross_check",
             ]
         if include_near_dup:
-            self._builders.append((near_dup.NAME, near_dup.violations))
+            self._builders.append(near_dup.violations)
+            self._names.append(near_dup.NAME)
         if include_text:
-            self._builders += [
-                ("text:banned_ingredient", text_rules.banned_violations),
-            ]
+            self._builders.append(text_rules.banned_violations)
+            self._names += ["text:banned_ingredient", "text:needs_review"]
 
     @property
     def constraint_names(self) -> list[str]:
-        names = [n for n, _ in self._builders]
-        if any(n == "text:banned_ingredient" for n in names):
-            names.append("text:needs_review")  # emitted by the same builder
-        return names
+        return list(self._names)
 
     def violation_plan(self, ctx: SuiteContext) -> DataFrame:
-        plans = [fn(ctx) for _, fn in self._builders]
+        plans = [fn(ctx) for fn in self._builders]
         out = plans[0]
         for p in plans[1:]:
             out = out.unionByName(p)
@@ -92,10 +98,14 @@ class ValidationSuite:
         from pqc.constraints.schema_check import expect_schema
 
         schema_problems = expect_schema(ctx.images)
+        # materialize the shared payload-free cache up front so the 12
+        # constraint branches of the union read it instead of racing to
+        # recompute the projection inside one action
+        ctx.meta().count()
         violations = self.violation_plan(ctx)
         violations.persist()
 
-        parts = ctx.images.groupBy("part").agg(F.count(F.lit(1)).alias("n_checked"))
+        parts = ctx.meta().groupBy("part").agg(F.count(F.lit(1)).alias("n_checked"))
         names = ctx.images.sparkSession.createDataFrame(
             [(n,) for n in self.constraint_names], "constraint string"
         )

@@ -11,8 +11,10 @@ Grafts the reference's artwork QA ladder into columns
 - declared-vs-actual dimension cross-check (I6 analogue);
 - generation-loss PSNR gate for lossy formats: re-encode the decoded
   pixels at the declared quality and re-decode; PSNR ≥ 40 dB required
-  (north-star pixel-integrity invariant). Lossless formats must
-  round-trip exactly (PSNR = inf);
+  (north-star pixel-integrity invariant). Computed on a centred
+  128×128 crop — quantization-table corruption is global, so a bounded
+  crop detects it at fixed cost regardless of image size. Lossless
+  formats must round-trip exactly (PSNR = inf);
 - phash recompute + cross-check vs the table's phash column. The
   stored phash was computed from pre-encode pixels, so for lossy
   formats the recompute (from decoded pixels) legitimately differs by
@@ -43,6 +45,7 @@ from pqc.image.phash import phash64
 PSNR_MIN_DB = 40.0
 PHASH_TOL_LOSSY = 12  # measured max roundtrip drift ≈ 10 at PSNR ≈ 42 dB
 PHASH_TOL_LOSSLESS = 0
+REGEN_CROP = 128  # regen-PSNR crop side: fixed cost for any image size
 
 INTEGRITY_SCHEMA = (
     "seq long, image_id string, part int, w int, h int, fmt string, "
@@ -95,8 +98,11 @@ def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
         out["psnr_ok"] = True
     else:
         quality = data[12] if fmt == "lsy" and len(data) > 12 else 95
-        regen = decode(encode(arr, fmt, quality=int(quality)), fmt)
-        out["psnr_regen"] = psnr(arr, regen)
+        y0 = max(0, (ah - REGEN_CROP) // 2)
+        x0 = max(0, (aw - REGEN_CROP) // 2)
+        crop = arr[y0 : y0 + REGEN_CROP, x0 : x0 + REGEN_CROP]
+        regen = decode(encode(crop, fmt, quality=int(quality)), fmt)
+        out["psnr_regen"] = psnr(crop, regen)
         out["psnr_ok"] = out["psnr_regen"] >= PSNR_MIN_DB
     rec = phash64(arr)
     out["phash_recomputed"] = rec

@@ -56,7 +56,9 @@ def _load_modules() -> None:
         dedup,
         events_ops,
         image_queries,
+        matching,
         relational,
+        rule_packs,
         similarity,
         text,
     )

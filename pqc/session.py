@@ -35,6 +35,12 @@ def get_spark(
     executor count; the scaling harness calls this with 8 and 32.
     """
     n = parallelism or default_parallelism()
+    # One BLAS thread per Python worker: the decode island's matmuls are
+    # 8×8/32×32 — parallelism comes from Spark tasks, and multi-threaded
+    # OpenBLAS under N workers oversubscribes cores N× (measured: local[32]
+    # SLOWER than local[8] before this pin).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -42,6 +48,10 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles all the way down instead of stopping at
+        # default parallelism — otherwise every tiny stage schedules N
+        # tasks and wall time grows with core count on small inputs
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -50,6 +60,14 @@ def get_spark(
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
         .config("spark.ui.enabled", "false")
+        # finer input splits: the decode island is Python-CPU-bound, so
+        # task granularity ≈ seconds, not 128MB of scan — small splits
+        # keep all cores busy and bound straggler tails
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("PQC_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():

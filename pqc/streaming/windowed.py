@@ -1,0 +1,133 @@
+"""Structured Streaming surface.
+
+The reference is a pure batch engine (SURVEY §1.2: no streaming
+constructs), and the north rule is batch-with-resume — so streaming
+here is the *ingest* story: a continuously-arriving images table is
+validated incrementally, and event streams get windowed rollups with
+watermarked late-data handling.
+
+Two streaming operators:
+- ``windowed_event_counts``: watermark + tumbling window aggregation
+  over the events schema (the streaming twin of
+  pqc/events_ops.hourly_event_rollup);
+- ``streaming_validation``: readStream over an images directory →
+  the same constraint predicates (single-row subset: ranges, domain,
+  nulls) → violation stream. Cross-row constraints (uniqueness,
+  near-dup) stay in the batch/resume path — they need global state,
+  which the ledger handles (pqc/ledger.py).
+
+Both are driven to completion synchronously in tests via the memory
+sink + ``processAllAvailable`` (no always-on cluster in the sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window rollup with late-data watermark."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_validation(spark: SparkSession, images_dir: str) -> DataFrame:
+    """Incremental validation of an arriving images table.
+
+    Row-local constraints only (see module docstring); emits the same
+    (image_id, part, constraint, detail) violation rows as the batch
+    suite so downstream sinks are interchangeable.
+    """
+    from pqc.fixtures import IMAGE_SCHEMA
+    from pqc.image.codec import SUPPORTED_FORMATS
+
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(images_dir)
+    )
+    dim_bad = (
+        F.col("w").isNull()
+        | F.col("h").isNull()
+        | (F.col("w") < 1)
+        | (F.col("w") > 4096)
+        | (F.col("h") < 1)
+        | (F.col("h") > 4096)
+    )
+    fmt_bad = F.col("fmt").isNull() | ~F.col("fmt").isin(*sorted(SUPPORTED_FORMATS))
+    cap_bad = F.col("caption").isNull() | (F.length(F.trim(F.col("caption"))) == 0)
+
+    def entry(cond, name, detail):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(name).alias("constraint"), detail.cast("string").alias("detail")
+            ),
+        )
+
+    checks = F.array(
+        entry(
+            dim_bad,
+            "range:w,h in [1,4096]",
+            F.concat_ws("×", F.col("w").cast("string"), F.col("h").cast("string")),
+        ),
+        entry(fmt_bad, "domain:fmt", F.coalesce(F.col("fmt"), F.lit("<null>"))),
+        entry(F.col("bytes").isNull(), "not_null:bytes", F.lit("null payload")),
+        entry(cap_bad, "not_null:caption", F.lit("missing caption")),
+    )
+    return stream.select(
+        "image_id",
+        "part",
+        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"),
+    ).select("image_id", "part", "v.constraint", "v.detail")
+
+
+def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame over all currently-available input
+    via the memory sink; returns the materialized result (test/sandbox
+    harness — production uses a real sink + trigger). With append mode
+    + watermark, windows newer than (max ts − watermark) stay open and
+    are not emitted — callers account for the tail."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,59 @@
+"""Structured Streaming tests: windowed rollup matches its batch twin
+(up to the open-window tail), and the incremental validator emits the
+same row-local violations as the batch suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pqc.streaming.windowed import (
+    run_to_completion,
+    streaming_validation,
+    windowed_event_counts,
+)
+
+from .conftest import SF_DIR_SMALL
+
+
+def test_windowed_counts_match_batch(spark):
+    stream_df = windowed_event_counts(spark, SF_DIR_SMALL)
+    got = run_to_completion(stream_df, "stream_hourly").collect()
+    assert len(got) > 0
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # every emitted (closed) window must match the batch count exactly
+    for r in got:
+        key = (r["window_start"], r["event_type"])
+        assert batch_map[key] == r["n_events"], key
+    # the watermark may hold back only the trailing windows
+    emitted = {r["window_start"] for r in got}
+    all_windows = sorted({k[0] for k in batch_map})
+    missing = [w for w in all_windows if w not in emitted]
+    assert all(w >= all_windows[-3] for w in missing), f"non-tail windows missing: {missing[:5]}"
+
+
+def test_streaming_validation_matches_batch(spark):
+    from pqc.constraints import SuiteContext
+    from pqc.constraints.ranges import combined_violations
+    from pqc.fixtures import cached_images_path
+
+    path = cached_images_path(spark, 2000)
+    got = run_to_completion(
+        streaming_validation(spark, path), "stream_validate"
+    ).collect()
+    batch = combined_violations(
+        SuiteContext(images=spark.read.parquet(path))
+    ).collect()
+    key = lambda r: (r["image_id"], r["constraint"], r["detail"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(got) > 0
