@@ -53,6 +53,7 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from pqc import (  # noqa: F401
+        catalog_packs,
         dedup,
         events_ops,
         image_queries,
