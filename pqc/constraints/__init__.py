@@ -35,12 +35,13 @@ class SuiteContext:
         Every constraint except the decode island works on metadata
         only; sharing one cached projection means the wide ``bytes``
         column is scanned exactly once (by the decode island) per run
-        — the "never shuffle bytes" rule (SURVEY §7.4)."""
+        — the "never shuffle bytes" rule (SURVEY §7.4). Even
+        ``isNull(bytes)`` would force the scan to materialize the
+        binary column, so the payload-presence check lives in the
+        decode island instead."""
         if self._meta is None:
             cols = [c for c in self.images.columns if c != "bytes"]
-            self._meta = self.images.select(
-                *cols, F.col("bytes").isNull().alias("bytes_is_null")
-            )
+            self._meta = self.images.select(*cols)
             self._meta.persist()
         return self._meta
 

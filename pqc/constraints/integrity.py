@@ -77,6 +77,13 @@ def combined_violations(ctx: SuiteContext) -> DataFrame:
 
     ok = F.col("decode_ok")
     checks = F.array(
+        # the payload-presence check rides the decode island's scan so
+        # no other plan ever reads the bytes column
+        entry(
+            F.col("decode_error") == "null payload",
+            "not_null:bytes",
+            F.lit("null payload"),
+        ),
         entry(
             ~ok & (F.col("decode_error") != "null payload"),
             "integrity:decode",

@@ -42,7 +42,10 @@ def fmt_domain_violations(ctx: SuiteContext) -> DataFrame:
 
 
 def payload_present_violations(ctx: SuiteContext) -> DataFrame:
-    bad = ctx.meta().filter(F.col("bytes_is_null"))
+    # reads the payload column — prefer the decode island's combined
+    # pass (integrity.combined_violations) which folds this check into
+    # the single bytes-reading scan
+    bad = ctx.images.filter(F.col("bytes").isNull())
     return as_violation(bad, "not_null:bytes", F.lit("null payload"))
 
 
@@ -87,7 +90,6 @@ def combined_violations(ctx: SuiteContext) -> DataFrame:
             F.concat_ws("×", F.col("w").cast("string"), F.col("h").cast("string")),
         ),
         entry(fmt_bad, "domain:fmt", F.coalesce(F.col("fmt"), F.lit("<null>"))),
-        entry(F.col("bytes_is_null"), "not_null:bytes", F.lit("null payload")),
         entry(cap_bad, "not_null:caption", F.lit("missing caption")),
     )
     return m.select(

@@ -63,12 +63,12 @@ class ValidationSuite:
             "referential:image_id->image_dim",
             "range:w,h in [1,4096]",
             "domain:fmt",
-            "not_null:bytes",
             "not_null:caption",
         ]
         if include_integrity:
             self._builders.append(integrity.combined_violations)
             self._names += [
+                "not_null:bytes",  # rides the decode island's scan
                 "integrity:decode",
                 "integrity:two_pass_agreement",
                 "integrity:dims_cross_check",

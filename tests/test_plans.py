@@ -1,0 +1,114 @@
+"""Physical-plan assertions: the optimizations the engine claims are
+verified against `.explain("formatted")` output — filters reach the
+parquet scan, small dims broadcast, heavy joins are hash joins (never
+cartesian), the decode island reads bytes exactly once, and scans
+prune to the referenced columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pqc.io import load_table
+from pqc.registry import REGISTRY, all_queries
+
+from .conftest import SF_DIR_SMALL
+
+all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_range_filter_pushed_to_scan(spark):
+    df = REGISTRY["range_check_violations"].fn(spark, SF_DIR_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # p_size predicates must reach the parquet reader
+    assert re.search(r"PushedFilters:.*p_size", plan), plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (
+        load_table(spark, SF_DIR_SMALL, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_quantity") > 10)
+    )
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = REGISTRY["market_segment_rollup"].fn(spark, SF_DIR_SMALL)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_join_is_hash_join_not_cartesian(spark):
+    df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_DIR_SMALL)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_near_dup_band_join_not_cartesian(spark):
+    from pqc.constraints.near_dup import candidate_pairs
+    from pqc.fixtures import cached_images_path
+
+    images = spark.read.parquet(cached_images_path(spark, 2000))
+    plan = plan_of(candidate_pairs(images))
+    assert "CartesianProduct" not in plan
+    # the a.seq < b.seq predicate must not force a nested-loop join:
+    # band equality is the join key
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:3000]
+
+
+def test_q1_map_side_partial_agg_single_shuffle(spark):
+    """The rollup must partial-aggregate before its single exchange —
+    the map-side-combine shape that holds at 10^12 rows. (Codegen spans
+    aren't visible under AQE pre-execution, so assert the structure.)"""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR_SMALL)
+    plan = plan_of(df)
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_decode_island_scans_bytes_once(spark):
+    """The suite's full violation plan must contain exactly one scan
+    that reads the bytes column (the decode island); every other scan
+    reads the payload-free projection."""
+    from pqc.constraints import SuiteContext
+    from pqc.engine import ValidationSuite
+    from pqc.fixtures import cached_images_path, generate_image_dim
+
+    images = spark.read.parquet(cached_images_path(spark, 2000))
+    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
+    plan = plan_of(ValidationSuite().violation_plan(ctx))
+    byte_scans = len(re.findall(r"ReadSchema: struct<[^>]*bytes:binary", plan))
+    assert byte_scans == 1, f"expected 1 bytes-reading scan, found {byte_scans}"
+
+
+def test_no_row_python_udfs_anywhere():
+    """Hard requirement (BASELINE.json input_hint): no per-row Python
+    UDFs. mapInPandas/pandas_udf are the only sanctioned Python entry
+    points."""
+    import pathlib
+
+    bad = []
+    for path in pathlib.Path("/root/repo/pqc").rglob("*.py"):
+        src = path.read_text()
+        if re.search(r"F\.udf\(|@udf\b|functions\.udf\(", src):
+            bad.append(str(path))
+    assert bad == []

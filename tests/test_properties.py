@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis, seeded/deterministic profile):
+codec roundtrips over arbitrary image shapes, hash stability, and the
+uniqueness-constraint ↔ injected-duplicates equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, seed, settings
+from hypothesis import strategies as st
+
+from pqc.image.codec import lsy_decode, lsy_encode, png_decode, png_encode, psnr
+from pqc.image.phash import hamming, phash64
+
+_FAST = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _arr(w: int, h: int, seed_: int) -> np.ndarray:
+    rng = np.random.default_rng(seed_)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@seed(42)
+@_FAST
+@given(
+    w=st.integers(min_value=1, max_value=90),
+    h=st.integers(min_value=1, max_value=90),
+    s=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_roundtrip_any_shape(w, h, s):
+    a = _arr(w, h, s)
+    assert np.array_equal(png_decode(png_encode(a)), a)
+
+
+@seed(42)
+@_FAST
+@given(
+    w=st.integers(min_value=8, max_value=90),
+    h=st.integers(min_value=8, max_value=90),
+    s=st.integers(min_value=0, max_value=2**31),
+    q=st.integers(min_value=80, max_value=100),
+)
+def test_lsy_roundtrip_monotone_quality(w, h, s, q):
+    # pure-noise images are the worst case for a DCT codec; the property
+    # is determinism + shape preservation + quality monotonicity, not an
+    # absolute PSNR bar (that is asserted on the fixture distribution)
+    a = _arr(w, h, s)
+    out_q = lsy_decode(lsy_encode(a, q))
+    assert out_q.shape == a.shape
+    out_q2 = lsy_decode(lsy_encode(a, q))
+    assert np.array_equal(out_q, out_q2)  # determinism
+    if q <= 95:
+        hi = psnr(a, lsy_decode(lsy_encode(a, min(100, q + 5))))
+        lo = psnr(a, out_q)
+        assert hi >= lo - 0.5  # monotone up to rounding noise
+
+
+@seed(42)
+@_FAST
+@given(
+    w=st.integers(min_value=32, max_value=80),
+    h=st.integers(min_value=32, max_value=80),
+    s=st.integers(min_value=0, max_value=2**31),
+)
+def test_phash_stability_under_tiny_perturbation(w, h, s):
+    rng = np.random.default_rng(s ^ 0xABCDEF)
+    base = (
+        (np.linspace(0, 255, w)[None, :, None] * np.ones((h, 1, 3)))
+        + rng.normal(0, 8, size=(h, w, 3))
+    ).clip(0, 255).astype(np.uint8)
+    jig = np.clip(base.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    assert hamming(phash64(base), phash64(jig)) <= 8
+
+
+def test_uniqueness_constraint_equals_injected_duplicates(spark):
+    """Inject a known duplicate set into a unique id column; the
+    uniqueness constraint must flag exactly the injected rows."""
+    from pyspark.sql import functions as F
+
+    from pqc.constraints import SuiteContext, uniqueness
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ids = [f"u{i}" for i in range(n)]
+    dup_positions = sorted(rng.choice(np.arange(1, n), size=37, replace=False))
+    for p in dup_positions:
+        ids[p] = ids[p - 1]  # duplicate the predecessor's id
+    pdf = pd.DataFrame(
+        {
+            "seq": range(n),
+            "image_id": ids,
+            "w": 64,
+            "h": 64,
+            "fmt": "png",
+            "caption": "x",
+            "phash": range(n),
+            "part": [i % 8 for i in range(n)],
+        }
+    )
+    images = spark.createDataFrame(pdf)
+    ctx = SuiteContext(images=images)
+    got = {
+        r["image_id"]
+        for r in uniqueness.violations(ctx).select("image_id").distinct().collect()
+    }
+    expected = {ids[p] for p in dup_positions}
+    assert got == expected
+    # every flagged id is reported once per occurrence
+    n_rows = uniqueness.violations(ctx).count()
+    assert n_rows == sum(ids.count(i) for i in expected)
