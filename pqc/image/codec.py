@@ -190,6 +190,36 @@ def lsy_encode(arr: np.ndarray, quality: int = 90) -> bytes:
     return header + zlib.compress(payload, 6)
 
 
+def lsy_requantize(arr: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Generation-loss simulation: DCT → quantize → dequantize → IDCT.
+
+    Bit-identical to ``lsy_decode(lsy_encode(arr, q))`` — the entropy
+    stage (zlib + int16 serialization) is lossless, so skipping it
+    yields the same pixels at a fraction of the cost. Used by the
+    regen-PSNR integrity gate (equality with the full roundtrip is
+    asserted in tests)."""
+    h, w = arr.shape[:2]
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64) - 128.0
+    hh, ww = padded.shape[:2]
+    qt = _qtable(quality)
+    blocks = (
+        padded.transpose(2, 0, 1)
+        .reshape(3, hh // 8, 8, ww // 8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, -1, 8, 8)
+    )
+    coeffs = np.round((_D8 @ blocks @ _D8.T) / qt).astype(np.int16).astype(np.float64)
+    idct = _D8.T @ (coeffs * qt) @ _D8
+    out = (
+        idct.reshape(3, hh // 8, ww // 8, 8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, hh, ww)
+        .transpose(1, 2, 0)
+    )
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
 def lsy_decode(data: bytes) -> np.ndarray:
     if data[:4] != LSY_MAGIC:
         raise ValueError("not an LSY payload")

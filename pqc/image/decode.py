@@ -38,6 +38,7 @@ from pqc.image.codec import (
     SUPPORTED_FORMATS,
     decode,
     encode,
+    lsy_requantize,
     psnr,
 )
 from pqc.image.phash import phash64
@@ -100,8 +101,13 @@ def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
         quality = data[12] if fmt == "lsy" and len(data) > 12 else 95
         y0 = max(0, (ah - REGEN_CROP) // 2)
         x0 = max(0, (aw - REGEN_CROP) // 2)
-        crop = arr[y0 : y0 + REGEN_CROP, x0 : x0 + REGEN_CROP]
-        regen = decode(encode(crop, fmt, quality=int(quality)), fmt)
+        crop = np.ascontiguousarray(arr[y0 : y0 + REGEN_CROP, x0 : x0 + REGEN_CROP])
+        if fmt == "lsy":
+            # bit-identical to encode→decode, minus the lossless
+            # entropy stage (asserted equal in tests)
+            regen = lsy_requantize(crop, int(quality))
+        else:  # pragma: no cover - only reachable with PIL present
+            regen = decode(encode(crop, fmt, quality=int(quality)), fmt)
         out["psnr_regen"] = psnr(crop, regen)
         out["psnr_ok"] = out["psnr_regen"] >= PSNR_MIN_DB
     rec = phash64(arr)

@@ -55,6 +55,16 @@ def test_lsy_psnr_gate():
         assert psnr(arr, out) >= 40.0
 
 
+def test_lsy_requantize_equals_full_roundtrip():
+    from pqc.image.codec import lsy_requantize
+
+    for i in (3, 50, 212):
+        a = pixels_for(i)
+        assert np.array_equal(
+            lsy_requantize(a, 95), lsy_decode(lsy_encode(a, 95))
+        )
+
+
 def test_jpeg_stub_clearly_marked():
     from pqc.image.codec import decode, encode
 
