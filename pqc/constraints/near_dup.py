@@ -1,24 +1,30 @@
 """Near-duplicate detection on the phash column — banded self-join.
 
-LSH over Hamming space: split the 64-bit phash into 8 disjoint 8-bit
-bands; two images at Hamming distance ≤ 7 are guaranteed to agree on
-at least one band (pigeonhole), so the band equi-join generates a
-complete candidate set for threshold ≤ 7 with NO quadratic blowup; the
-exact `bit_count(a ^ b) <= t` filter confirms.
+LSH over Hamming space with **band-pair keys**: split the 64-bit phash
+into 8 disjoint 8-bit bands. Two images at Hamming distance ≤ 6 have at
+most 6 dirty bands, so AT LEAST TWO bands are clean (pigeonhole) — and
+therefore at least one of the C(8,2) = 28 band *pairs* matches exactly.
+Joining on 16-bit pair keys instead of single 8-bit bands keeps the
+candidate set complete for the ≤ 6 threshold while shrinking collision
+buckets from n/2^8 to n/2^16 members — candidate pairs scale as
+28·n²/2^16 instead of 8·n²/2^8 (~70× fewer; measured: the single-band
+version became the suite's dominant cost at 150k rows). The exact
+``bit_count(a ^ b) <= t`` filter confirms survivors.
 
 Scale notes (north_rule "salted repartitioning for phash/format skew"):
-monochrome/flat corpora concentrate phashes into few band values → the
-band join skews. The suite repartitions candidates on (band_idx,
-band_val) and relies on AQE skew-join as backstop; a hot-band cap
-(drop band buckets above a count threshold, catching those pairs via
-the remaining 7 bands) is the 10^12 safety valve — noted here, applied
-when bucket stats demand it.
+monochrome/flat corpora concentrate phashes into few values → hot
+buckets. ``pqc/skew.py::capped_band_join`` diverts buckets above a
+member cap (pairs sharing a non-hot band-pair keep full recall; fully
+hot groups are exact duplicates caught by the cheap exact pass first).
+AQE skew-join is the backstop for residual imbalance.
 
 Reference analogue: the pictogram-membership check (SURVEY §2.8 I11)
 replaced with deterministic perceptual hashing.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +36,21 @@ N_BANDS = 8
 BAND_BITS = 8
 
 NAME = f"near_dup:phash_hamming<={HAMMING_MAX}"
+
+
+def _band_pair_keys() -> list:
+    """28 exprs: (pair_id, 16-bit combined value) per band pair (i<j)."""
+    keys = []
+    for pid, (i, j) in enumerate(combinations(range(N_BANDS), 2)):
+        vi = f"((phash >> {i * BAND_BITS}) & 255)"
+        vj = f"((phash >> {j * BAND_BITS}) & 255)"
+        keys.append(
+            F.struct(
+                F.lit(pid).alias("band_idx"),
+                F.expr(f"({vi} << 8) | {vj}").alias("band_val"),
+            )
+        )
+    return keys
 
 
 def candidate_pairs(images: DataFrame) -> DataFrame:
@@ -47,17 +68,7 @@ def candidate_pairs(images: DataFrame) -> DataFrame:
         "image_id",
         "part",
         "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.expr(f"(phash >> {b * BAND_BITS}) & 255").alias("band_val"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.array(*_band_pair_keys())).alias("band"),
     ).select("seq", "image_id", "part", "phash", "band.band_idx", "band.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
