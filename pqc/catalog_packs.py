@@ -513,6 +513,103 @@ def legal_category_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Daily unit-dose extractor (prompts.py:415-475)
+# ---------------------------------------------------------------------------
+
+_DOSE_COLS = ["row_id", "directions"]
+DOSE_FIXTURE = [
+    (1, "take two tablets twice daily"),
+    (2, "one capsule daily"),
+    (3, "take 3 tablets per day"),
+    (4, "two capsules three times daily with food"),
+    (5, "take one to two tablets daily"),  # range → max = 2
+    (6, "apply liberally as needed"),  # no dose
+    (7, "4 gummies once daily"),
+    (8, "take ten drops twice a day"),
+]
+
+_WORDNUM_SQL = (
+    "CASE {c} WHEN 'one' THEN 1 WHEN 'two' THEN 2 WHEN 'three' THEN 3 "
+    "WHEN 'four' THEN 4 WHEN 'five' THEN 5 WHEN 'six' THEN 6 "
+    "WHEN 'seven' THEN 7 WHEN 'eight' THEN 8 WHEN 'nine' THEN 9 "
+    "WHEN 'ten' THEN 10 ELSE TRY_CAST({c} AS INT) END"
+)
+_UNITS_RE = "(tablets?|capsules?|gummies|drops?|softgels?)"
+_QTY_RE = "([a-z0-9]+)(?: to ([a-z0-9]+))? " + _UNITS_RE
+_FREQ_RE = "(once|twice|three times|[0-9]+ times) (daily|a day|per day)"
+
+_DOSE_ORACLE = f"""
+WITH {values_cte(DOSE_FIXTURE, _DOSE_COLS, 'd')},
+parsed AS (
+  SELECT row_id, lower(directions) AS s,
+         regexp_extract(lower(directions), '{_QTY_RE}', 1) AS q1,
+         regexp_extract(lower(directions), '{_QTY_RE}', 2) AS q2,
+         regexp_extract(lower(directions), '{_FREQ_RE}', 1) AS freq
+  FROM d
+),
+n AS (
+  SELECT row_id,
+         COALESCE({_WORDNUM_SQL.format(c="NULLIF(q2, '')")},
+                  {_WORDNUM_SQL.format(c="NULLIF(q1, '')")}) AS units,
+         CASE freq WHEN 'once' THEN 1 WHEN 'twice' THEN 2
+                   WHEN 'three times' THEN 3
+                   WHEN '' THEN CASE WHEN regexp_matches(
+                     (SELECT lower(directions) FROM d dd WHERE dd.row_id = n0.row_id),
+                     '(daily|per day|a day)') THEN 1 ELSE NULL END
+                   ELSE TRY_CAST(regexp_extract(freq, '([0-9]+)', 1) AS INT) END
+           AS times_per_day
+  FROM parsed n0
+)
+SELECT row_id, units, times_per_day,
+       units * times_per_day AS daily_units
+FROM n
+"""
+
+
+@register("daily_dose_extractor", oracle=_DOSE_ORACLE)
+def daily_dose_extractor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unit-dose extraction (`prompts.py:415-475`): word-number
+    map, range 'one to two' → max (`:465-469`), frequency math 'two
+    tablets twice daily' = 4 (`:470-475`); bare 'daily' with no
+    multiplier = once."""
+    d = spark_inline(spark, DOSE_FIXTURE, _DOSE_COLS)
+    s = F.lower(F.col("directions"))
+    q1 = F.regexp_extract(s, _QTY_RE, 1)
+    q2 = F.regexp_extract(s, _QTY_RE, 2)
+    freq = F.regexp_extract(s, _FREQ_RE, 1)
+
+    def wordnum(col):
+        words = {
+            "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+            "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+        }
+        expr = F.lit(None).cast("int")
+        for w_, v in words.items():
+            expr = F.when(col == w_, v).otherwise(expr)
+        return F.coalesce(expr, col.cast("int"))
+
+    units = F.coalesce(
+        wordnum(F.nullif(q2, F.lit(""))), wordnum(F.nullif(q1, F.lit("")))
+    )
+    times = (
+        F.when(freq == "once", 1)
+        .when(freq == "twice", 2)
+        .when(freq == "three times", 3)
+        .when(
+            freq == "",
+            F.when(s.rlike("(daily|per day|a day)"), 1).otherwise(F.lit(None)),
+        )
+        .otherwise(F.regexp_extract(freq, "([0-9]+)", 1).cast("int"))
+    )
+    return d.select(
+        "row_id",
+        units.alias("units"),
+        times.alias("times_per_day"),
+        (units * times).alias("daily_units"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nutrition-claim detection with negation exclusion (prompts.py:111-138)
 # ---------------------------------------------------------------------------
 

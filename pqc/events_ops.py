@@ -133,6 +133,58 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_ORACLE = f"""
+SELECT user_id % 10 AS user_bucket,
+       {dsum_sql("CASE WHEN event_type = 'click' THEN value ELSE 0 END")} AS click_value,
+       {dsum_sql("CASE WHEN event_type = 'view' THEN value ELSE 0 END")} AS view_value,
+       {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+FROM events GROUP BY 1
+"""
+
+
+@register("event_value_pivot", oracle=_PIVOT_ORACLE)
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event types to columns (`groupBy().pivot()` — Catalyst
+    rewrites to the same conditional-aggregate shape as the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(dsum(F.coalesce(F.col("value"), F.lit(0.0))))
+    )
+    return piv.select(
+        "user_bucket",
+        F.coalesce(F.col("click"), F.lit(0.0)).alias("click_value"),
+        F.coalesce(F.col("view"), F.lit(0.0)).alias("view_value"),
+        F.coalesce(F.col("purchase"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_id % 4 AS VARCHAR), '<all>') AS user_mod,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+"""
+
+
+@register("event_cube_rollup", oracle=_CUBE_ORACLE)
+def event_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over two dimensions with null-marker folding —
+    multi-granularity rollups in one pass (map-side partials per
+    grouping set)."""
+    ev = load_table(spark, sf_dir, "events")
+    cube = ev.cube(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("user_mod")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("user_mod"), F.lit("<all>")).alias("user_mod"),
+        "n_events",
+    )
+
+
 _KS_ORACLE = """
 WITH u AS (
   SELECT value AS v,
