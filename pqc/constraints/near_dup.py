@@ -70,15 +70,24 @@ def candidate_pairs(images: DataFrame) -> DataFrame:
         "phash",
         F.explode(F.array(*_band_pair_keys())).alias("band"),
     ).select("seq", "image_id", "part", "phash", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.seq") < F.col("b.seq")),
+    # ONE shuffle (the groupBy); pair generation happens bucket-locally
+    # via a double explode — a two-sided self-join would shuffle the
+    # band table twice and hash-join 2×28·n rows. Buckets are tiny
+    # (n/2^16 expected members), so the |bucket|² expansion is cheap;
+    # hot buckets are the skew-cap's job (pqc/skew.py).
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.collect_list(
+                F.struct("seq", "image_id", "part", "phash")
+            ).alias("members")
         )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.seq") < F.col("b.seq"))
         .select(
             F.col("a.seq").alias("seq_a"),
             F.col("a.image_id").alias("image_id_a"),

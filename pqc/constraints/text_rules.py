@@ -151,8 +151,10 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
         .join(exact.select("segment", "canonical"), ["segment", "canonical"], "left_anti")
     )
     hits = exact.unionByName(fuzzy)
-    # fan hits back to rows; keep best evidence per (row, canonical)
-    joined = segs.join(hits, "segment")
+    # fan hits back to rows; keep best evidence per (row, canonical).
+    # The hit set is bounded by |distinct segments| × |dim| — broadcast
+    # it so the (large) segment stream never shuffles.
+    joined = segs.join(F.broadcast(hits), "segment")
     return joined.groupBy("image_id", "part", "canonical", "syn_type").agg(
         F.max_by(
             F.struct("match_kind", "score", "segment"),

@@ -70,9 +70,11 @@ def test_near_dup_band_join_not_cartesian(spark):
     images = spark.read.parquet(cached_images_path(spark, 2000))
     plan = plan_of(candidate_pairs(images))
     assert "CartesianProduct" not in plan
-    # the a.seq < b.seq predicate must not force a nested-loop join:
-    # band equality is the join key
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket groupBy + in-bucket double explode + pair dedup: two
+    # shuffles total (bucket agg, pair dedup), no join at all
+    assert "collect_list" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:3000]
 
 
 def test_q1_map_side_partial_agg_single_shuffle(spark):
