@@ -201,6 +201,48 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COS = 0.95
+NEAR_DUP_SCOPE = 300  # bounded pair-search scope for the oracle tier
+
+_EMB_ND_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_SCOPE}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot_sql('a.embedding', 'b.embedding')} /
+           (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+            * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 8) AS cosine
+FROM pairs WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+@register("embedding_near_dup_pairs", oracle=_EMB_ND_ORACLE)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) — the
+    embedding leg of the dedup family. Exact pairwise on a bounded
+    scope here (oracle-checkable); the corpus-scale path is the IVF
+    bucket prefilter (`ivf_ann_topk`): assign → pair only within
+    buckets → exact-verify survivors, the same screen→confirm shape
+    as MinHash-LSH."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_SCOPE
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            _dot(F.col("ea"), F.col("eb"))
+            / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
+
+
 _NORM_ORACLE = f"""
 SELECT label, COUNT(*) AS n_vectors,
        ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 8)
