@@ -153,7 +153,8 @@ def fnv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SETS_ORACLE = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """
@@ -163,10 +164,13 @@ FROM events GROUP BY user_id
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-union across a group, sorted for determinism — the
     pictograms-across-images union (`app.py:1013-1021`) as
-    collect_set + array_sort."""
+    collect_set + array_sort (emitted joined: list renderings differ
+    across engines, strings hash identically)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.countDistinct("event_type").alias("n_types"),
     )
 
