@@ -43,6 +43,10 @@ HEADLINE_QUERIES = (
     "simhash_fingerprint",
     "knn_brute_force_cosine",
     "ivf_ann_topk",
+    "embedding_near_dup_pairs",
+    "competitor_topk_match",
+    "event_value_pivot",
+    "npm_hfss_score",
 )
 
 

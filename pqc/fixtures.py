@@ -187,6 +187,12 @@ def generate_images(
     """
     n_tasks = n_tasks or max(8, n_rows // 2000)
 
+    # the driver may hand us a session it built itself (the harness
+    # contract); make sure pqc is importable on its Python workers
+    from pqc.session import _ship_package
+
+    _ship_package(spark)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [row_for(int(i), shift) for i in pdf["id"]]
