@@ -65,41 +65,43 @@ def candidate_pairs(images: DataFrame) -> DataFrame:
     )
     bands = base.select(
         "seq",
-        "image_id",
-        "part",
         "phash",
         F.explode(F.array(*_band_pair_keys())).alias("band"),
-    ).select("seq", "image_id", "part", "phash", "band.band_idx", "band.band_val")
+    ).select("seq", "phash", "band.band_idx", "band.band_val")
     # ONE shuffle (the groupBy); pair generation happens bucket-locally
     # via a double explode — a two-sided self-join would shuffle the
-    # band table twice and hash-join 2×28·n rows. Buckets are tiny
-    # (n/2^16 expected members), so the |bucket|² expansion is cheap;
-    # hot buckets are the skew-cap's job (pqc/skew.py).
+    # band table twice and hash-join 2×28·n rows. The shuffled payload
+    # is just (seq, phash) — 16 bytes/row; image_id/part rejoin AFTER
+    # pair confirmation, when only the (few) confirmed pairs remain.
+    # Buckets are tiny (n/2^16 expected members) so the |bucket|²
+    # expansion is cheap; hot buckets are the skew-cap's job
+    # (pqc/skew.py).
     buckets = (
         bands.groupBy("band_idx", "band_val")
-        .agg(
-            F.collect_list(
-                F.struct("seq", "image_id", "part", "phash")
-            ).alias("members")
-        )
+        .agg(F.collect_list(F.struct("seq", "phash")).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    pairs = (
+    slim_pairs = (
         buckets.select(F.explode("members").alias("a"), F.col("members"))
         .select("a", F.explode("members").alias("b"))
         .filter(F.col("a.seq") < F.col("b.seq"))
         .select(
             F.col("a.seq").alias("seq_a"),
-            F.col("a.image_id").alias("image_id_a"),
             F.col("b.seq").alias("seq_b"),
-            F.col("b.image_id").alias("image_id_b"),
-            F.col("b.part").alias("part_b"),
             F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .dropDuplicates(["seq_a", "seq_b"])
     )
-    return pairs
+    ida = base.select(
+        F.col("seq").alias("seq_a"), F.col("image_id").alias("image_id_a")
+    )
+    idb = base.select(
+        F.col("seq").alias("seq_b"),
+        F.col("image_id").alias("image_id_b"),
+        F.col("part").alias("part_b"),
+    )
+    return slim_pairs.join(ida, "seq_a").join(idb, "seq_b")
 
 
 def violations(ctx: SuiteContext) -> DataFrame:

@@ -20,7 +20,12 @@ def violations(ctx: SuiteContext) -> DataFrame:
         return ctx.images.sparkSession.createDataFrame(
             [], "image_id string, part int, constraint string, detail string"
         )
+    # broadcast is right at test scale (a 300k-id dim is ~7MB); on a
+    # 10^12-row cluster the dim outgrows broadcast and this becomes a
+    # co-partitioned sort-merge anti-join on the shared key — Catalyst
+    # picks that automatically once the hint no longer fits, so the
+    # hint is bounded by spark.sql.autoBroadcastJoinThreshold semantics
     orphans = ctx.meta().join(
-        ctx.image_dim.select("image_id"), "image_id", "left_anti"
+        F.broadcast(ctx.image_dim.select("image_id")), "image_id", "left_anti"
     )
     return as_violation(orphans, NAME, F.lit("image_id not present in image_dim"))

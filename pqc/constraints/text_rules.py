@@ -90,8 +90,12 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
         "part",
         F.explode(segment_caption(F.col("caption"))).alias("segment"),
     )
-    # dedupe the probe side: work scales with distinct segments (:170-182)
+    # dedupe the probe side: work scales with distinct segments (:170-182).
+    # Persisted: the exact pass, the fuzzy pass, and its anti-join all
+    # probe this small set — without the cache each branch re-runs the
+    # full explode+dedup over every caption.
     uniq = segs.select("segment").dropDuplicates()
+    uniq.persist()
     dim = F.broadcast(_synonym_dim(ctx))
 
     exact = uniq.join(dim, F.expr("segment rlike pattern")).select(
@@ -176,34 +180,42 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
 
 def banned_violations(ctx: SuiteContext) -> DataFrame:
     """Exact Banned-type hits are violations; fuzzy hits and Restricted
-    types surface as needs_review (separate constraint names so the
-    verdict rollup distinguishes severity)."""
+    types surface as needs_review. One pass over screen_hits (a
+    filter-union would recompute the whole screen per branch)."""
     hits = screen_hits(ctx)
-    exact_banned = hits.filter(
-        (F.col("match_kind") == "exact") & (F.col("syn_type") == "Banned")
-    ).select(
-        "image_id",
-        "part",
-        F.lit("text:banned_ingredient").alias("constraint"),
-        F.concat(
-            F.col("canonical"), F.lit(" in segment '"), F.col("segment"), F.lit("'")
-        ).alias("detail"),
+    exact_banned = (F.col("match_kind") == "exact") & (F.col("syn_type") == "Banned")
+    review = (F.col("match_kind") == "fuzzy") | (F.col("syn_type") == "Restricted")
+    v = (
+        F.when(
+            exact_banned,
+            F.struct(
+                F.lit("text:banned_ingredient").alias("constraint"),
+                F.concat(
+                    F.col("canonical"),
+                    F.lit(" in segment '"),
+                    F.col("segment"),
+                    F.lit("'"),
+                ).alias("detail"),
+            ),
+        ).when(
+            review,
+            F.struct(
+                F.lit("text:needs_review").alias("constraint"),
+                F.concat(
+                    F.col("canonical"),
+                    F.lit(" ("),
+                    F.col("match_kind"),
+                    F.lit(" "),
+                    F.round("score", 1).cast("string"),
+                    F.lit(") in '"),
+                    F.col("segment"),
+                    F.lit("'"),
+                ).alias("detail"),
+            ),
+        )
     )
-    review = hits.filter(
-        (F.col("match_kind") == "fuzzy") | (F.col("syn_type") == "Restricted")
-    ).select(
-        "image_id",
-        "part",
-        F.lit("text:needs_review").alias("constraint"),
-        F.concat(
-            F.col("canonical"),
-            F.lit(" ("),
-            F.col("match_kind"),
-            F.lit(" "),
-            F.round("score", 1).cast("string"),
-            F.lit(") in '"),
-            F.col("segment"),
-            F.lit("'"),
-        ).alias("detail"),
+    return (
+        hits.select("image_id", "part", v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("image_id", "part", "v.constraint", "v.detail")
     )
-    return exact_banned.unionByName(review)

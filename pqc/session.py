@@ -64,6 +64,18 @@ def get_spark(
         # task granularity ≈ seconds, not 128MB of scan — small splits
         # keep all cores busy and bound straggler tails
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # local mode funnels every shuffle through one directory; a
+        # single-disk /tmp serializes all shuffle-bound stages and caps
+        # multi-core scaling. Use RAM-backed tmpfs in-sandbox; on a real
+        # cluster the cluster manager provides per-node local dirs and
+        # this setting is moot.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "PQC_LOCAL_DIR",
+                "/dev/shm/pqc-spark" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
