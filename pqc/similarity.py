@@ -229,15 +229,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEAR_DUP_SCOPE
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # norms once per vector, not once per pair (norm recompute made the
+    # pair loop ~3× more expensive)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("nb"),
+    )
     pairs = (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            _dot(F.col("ea"), F.col("eb"))
-            / (F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))),
-        )
+        .withColumn("cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= NEAR_DUP_COS)
     )
     return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
