@@ -79,9 +79,7 @@ def main() -> None:
     n_violations = res.violations.count()
     res.verdicts.count()
     suite_sec = time.monotonic() - t0
-    res.violations.unpersist()
-    if ctx._integrity is not None:
-        ctx._integrity.unpersist()
+    res.release()
     timings["images_validation_suite"] = round(suite_sec, 3)
     imgs_per_sec = round(BENCH_IMAGE_ROWS / suite_sec, 1)
 

@@ -6,7 +6,7 @@ this sandbox has no cluster, so the sanctioned stand-in is the same
 job at ``local[8]`` vs ``local[32]`` on identical input, cold JVM per
 run (subprocess), reporting validated imgs/sec at both levels and
 
-    efficiency = (T_8 / T_32) / 4
+    efficiency = (T_lo / T_hi) / (n_hi / n_lo)
 
 The workload is the full images validation suite (decode island +
 constraints + verdict rollup) over the deterministic fixture — the
@@ -86,7 +86,7 @@ def main() -> None:
     # the least-contended measurement of each configuration
     t8 = min(results[n_lo])
     t32 = min(results[n_hi])
-    eff = (t8 / t32) / 4
+    eff = (t8 / t32) / (n_hi / n_lo)
     report = {
         "n_images": n_images,
         "reps": reps,

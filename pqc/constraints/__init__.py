@@ -55,6 +55,17 @@ class SuiteContext:
             self._integrity.persist()
         return self._integrity
 
+    def release(self) -> None:
+        """Unpersist the shared caches (idempotent). Call when the run's
+        outputs have been materialized — repeated suite runs in one
+        session otherwise accumulate cached blocks in executor memory."""
+        if self._meta is not None:
+            self._meta.unpersist()
+            self._meta = None
+        if self._integrity is not None:
+            self._integrity.unpersist()
+            self._integrity = None
+
 
 def as_violation(df: DataFrame, constraint: str, detail_col) -> DataFrame:
     return df.select(

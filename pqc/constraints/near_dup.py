@@ -53,31 +53,56 @@ def _band_pair_keys() -> list:
     return keys
 
 
-def candidate_pairs(images: DataFrame) -> DataFrame:
+def _band_table(images: DataFrame) -> DataFrame:
+    base = images.select("seq", "phash").filter(F.col("phash").isNotNull())
+    return base.select(
+        "seq",
+        "phash",
+        F.explode(F.array(*_band_pair_keys())).alias("band"),
+    ).select("seq", "phash", "band.band_idx", "band.band_val")
+
+
+def hot_buckets(images: DataFrame, cap: int | None = None) -> DataFrame:
+    """(band_idx, band_val, n_members) buckets above the skew cap —
+    the diverted-work surface (empty on a healthy corpus)."""
+    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+
+    _, hot = capped_band_join(
+        _band_table(images), ("band_idx", "band_val"), cap or DEFAULT_BAND_CAP
+    )
+    return hot
+
+
+def candidate_pairs(images: DataFrame, cap: int | None = None) -> DataFrame:
     """(seq_a, image_id_a, seq_b, image_id_b, hamming) confirmed pairs.
 
     Ordering key is ``seq`` (generation/ingest order); the keeper is
     the lower seq, mirroring first-wins dedupe
     (`artwork_processing_warnings_advisory.py:240-249`).
     """
+    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+
     base = images.select("seq", "image_id", "part", "phash").filter(
         F.col("phash").isNotNull()
     )
-    bands = base.select(
-        "seq",
-        "phash",
-        F.explode(F.array(*_band_pair_keys())).alias("band"),
-    ).select("seq", "phash", "band.band_idx", "band.band_val")
-    # ONE shuffle (the groupBy); pair generation happens bucket-locally
-    # via a double explode — a two-sided self-join would shuffle the
-    # band table twice and hash-join 2×28·n rows. The shuffled payload
-    # is just (seq, phash) — 16 bytes/row; image_id/part rejoin AFTER
-    # pair confirmation, when only the (few) confirmed pairs remain.
-    # Buckets are tiny (n/2^16 expected members) so the |bucket|²
-    # expansion is cheap; hot buckets are the skew-cap's job
-    # (pqc/skew.py).
+    bands = _band_table(images)
+    # SKEW GUARD (north_rule "salted repartitioning for phash/format
+    # skew"): buckets above the cap are diverted BEFORE collect_list —
+    # a monochrome-heavy corpus collapses phashes onto few values and
+    # one hot bucket's |members|² otherwise explodes a single task.
+    # Recall: any pair sharing a non-hot band-pair is still found
+    # (28 keys/pair); fully-hot groups are near-identical phashes whose
+    # identical-phash members the exact-dup layer already groups.
+    # Diverted buckets are surfaced via hot_buckets().
+    cold, _hot = capped_band_join(bands, ("band_idx", "band_val"), cap or DEFAULT_BAND_CAP)
+    # ONE pair-generating shuffle (the groupBy); pair generation happens
+    # bucket-locally via a double explode — a two-sided self-join would
+    # shuffle the band table twice and hash-join 2×28·n rows. The
+    # shuffled payload is just (seq, phash) — 16 bytes/row; image_id/
+    # part rejoin AFTER pair confirmation, when only the (few) confirmed
+    # pairs remain. Cold buckets are ≤ cap members by construction.
     buckets = (
-        bands.groupBy("band_idx", "band_val")
+        cold.groupBy("band_idx", "band_val")
         .agg(F.collect_list(F.struct("seq", "phash")).alias("members"))
         .filter(F.size("members") >= 2)
     )

@@ -30,6 +30,22 @@ class SuiteResult:
     verdicts: DataFrame  # (part, constraint, n_checked, n_violations, passed)
     schema_problems: list[str]
     drift: DataFrame | None
+    _ctx: SuiteContext | None = None
+
+    def release(self) -> None:
+        """Unpersist the violations cache and the SuiteContext caches
+        (meta projection + decode-island output). Idempotent; call
+        after the run's outputs are materialized so repeated suite runs
+        in one session don't accumulate cached executor blocks."""
+        self.violations.unpersist()
+        if self._ctx is not None:
+            self._ctx.release()
+
+    def __enter__(self) -> "SuiteResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 class ValidationSuite:
@@ -128,7 +144,7 @@ class ValidationSuite:
             if ctx.baseline is not None
             else None
         )
-        return SuiteResult(violations, verdicts, schema_problems, drift)
+        return SuiteResult(violations, verdicts, schema_problems, drift, _ctx=ctx)
 
 
 def verdict_row(df_checked: DataFrame, df_violations: DataFrame, name: str) -> DataFrame:

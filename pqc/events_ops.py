@@ -7,7 +7,7 @@ statistic required by the north rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -76,9 +76,16 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # fractional-second gap: the oracle compares epoch() DOUBLEs
+    # (microsecond precision) — unix_timestamp() truncates to whole
+    # seconds, so a gap in (1800, 1801] s would split differently.
+    # TIMESTAMP_NTZ has no direct double cast; the intermediate
+    # timestamp cast is identity under the pinned UTC session TZ.
+    def _epoch(c: Column) -> Column:
+        return c.cast("timestamp").cast("double")
+
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_SECONDS),
+        prev_ts.isNull() | (_epoch(F.col("ts")) - _epoch(prev_ts) > SESSION_GAP_SECONDS),
         1,
     ).otherwise(0)
     return (

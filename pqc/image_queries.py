@@ -84,6 +84,18 @@ def images_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(_images(spark)).orderBy("seq_a", "seq_b")
 
 
+@register("images_near_dup_hot_buckets")
+def images_near_dup_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guard surface: phash band-pair buckets above the member cap
+    that were diverted from the quadratic pair join (pqc/skew.py).
+    Empty on a healthy corpus — rows here mean a phash-degenerate
+    (e.g. monochrome) slice whose pairs were bounded away; their
+    identical-phash members are still grouped by the exact-dup layer."""
+    from pqc.constraints.near_dup import hot_buckets
+
+    return hot_buckets(_images(spark)).orderBy("band_idx", "band_val")
+
+
 @register("images_integrity_summary")
 def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-island rollup per (fmt): decode/psnr/phash gate pass

@@ -40,7 +40,15 @@ LEDGER_SCHEMA = (
 
 
 def partition_fingerprints(images: DataFrame) -> DataFrame:
-    """(part, input_fingerprint, n_rows) — order-independent content hash."""
+    """(part, input_fingerprint, n_rows) — order-independent content hash.
+
+    Covers every payload-free column the constraints read (image_id,
+    declared dims/fmt, caption, stored phash) so a partition whose
+    caption text or phash changed re-validates, not just row-count or
+    id churn. `bytes` changes are caught only via their phash/dims
+    proxies — hashing the payload would force a second full binary
+    scan, which the single-bytes-scan invariant forbids.
+    """
     row_fp = F.crc32(
         F.concat_ws(
             "|",
@@ -48,6 +56,8 @@ def partition_fingerprints(images: DataFrame) -> DataFrame:
             F.col("w").cast("string"),
             F.col("h").cast("string"),
             F.coalesce(F.col("fmt"), F.lit("∅")),
+            F.coalesce(F.col("caption"), F.lit("∅")),
+            F.coalesce(F.col("phash").cast("string"), F.lit("∅")),
         )
     )
     return images.groupBy("part").agg(

@@ -81,19 +81,25 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFs; ranking is one window shuffle on qid.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector BEFORE the pair join (a per-pair recompute
+    # triples the O(d) decimal folds — measured as the #1 testdata cost
+    # in BENCH_r01; same value either way so the oracle hash holds)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("nq"),
     )
     c = emb.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        "label",
+        F.sqrt(_norm2(F.col("embedding"))).alias("nc"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
         .withColumn(
-            "cos",
-            _dot(F.col("qe"), F.col("ce"))
-            / (F.sqrt(_norm2(F.col("qe"))) * F.sqrt(_norm2(F.col("ce")))),
+            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
@@ -154,20 +160,23 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set shrinks ~K× vs brute force. Same two-stage
     screen→confirm shape as the reference prescreen (SURVEY §3.3).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(_norm2(F.col("embedding")))
+    )  # norm once per vector, reused by assignment AND bucket search
     cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
     )
-
-    def cos(a: Column, b: Column) -> Column:
-        return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
-
     wassign = W.partitionBy("vec_id").orderBy(
         F.col("acos").desc(), F.col("centroid_id").asc()
     )
     assign = (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("acos", cos(F.col("embedding"), F.col("ce")))
+        .withColumn(
+            "acos",
+            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+        )
         .select(
             "vec_id", "centroid_id", F.row_number().over(wassign).alias("rk")
         )
@@ -180,16 +189,22 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
+            F.col("nrm").alias("nq"),
             "centroid_id",
         )
     )
     bucket = emb.join(assign, "vec_id").select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "centroid_id"
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("nc"),
+        "centroid_id",
     )
     scored = (
         bucket.join(F.broadcast(q), "centroid_id")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cos(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))
+        )
     )
     wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (

@@ -76,9 +76,9 @@ def main() -> int:
         summary["n_violations"] = result.violations.count()
         summary["schema_problems"] = result.schema_problems
         if baseline is not None:
-            drift = drift_verdict(
-                SuiteContext(images=images).meta(), baseline, "w"
-            ).first()
+            drift_ctx = SuiteContext(images=images)
+            drift = drift_verdict(drift_ctx.meta(), baseline, "w").first()
+            drift_ctx.release()
             summary["drift_ks_w"] = drift["ks_stat"]
             summary["drift_passed"] = drift["passed"]
         if args.out:
@@ -87,6 +87,7 @@ def main() -> int:
                 f"{args.out}/violations"
             )
             summary["out"] = args.out
+        result.release()
     else:
         summary["validated_partitions"] = 0
     print(json.dumps(summary))

@@ -71,10 +71,11 @@ def test_near_dup_band_join_not_cartesian(spark):
     plan = plan_of(candidate_pairs(images))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # bucket groupBy + in-bucket double explode + pair dedup: two
-    # shuffles total (bucket agg, pair dedup), no join at all
+    # hot-bucket count (skew guard) + bucket groupBy + in-bucket double
+    # explode + pair dedup: three shuffles total, joins only broadcast
+    # (the anti-join against hot keys and the id rejoin)
     assert "collect_list" in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan[:3000]
 
 
 def test_q1_map_side_partial_agg_single_shuffle(spark):

@@ -81,3 +81,43 @@ def test_hll_and_quantile_sketch_accuracy(spark):
     )
     approx_p50 = one["quantiles_w"][1]
     assert abs(approx_p50 - exact_p50) <= 32  # within one size bucket
+
+
+def test_near_dup_skew_guard_bounds_hot_corpus(spark):
+    """A phash-degenerate (monochrome-like) corpus must not explode:
+    hot buckets are diverted before collect_list, pairs stay bounded,
+    and pairs sharing only non-hot band-pairs keep full recall."""
+    from pqc.constraints.near_dup import candidate_pairs, hot_buckets
+
+    n_hot = 3000
+    rows = [(i, f"img_{i:012d}", i % 4, 0x1234567890AB) for i in range(n_hot)]
+    # one genuine near-dup pair with a distinct phash (1 bit apart)
+    rows += [
+        (n_hot, f"img_{n_hot:012d}", 0, 0x0F0F0F0F0F0F0F0F),
+        (n_hot + 1, f"img_{n_hot + 1:012d}", 1, 0x0F0F0F0F0F0F0F0E),
+    ]
+    images = spark.createDataFrame(
+        rows, "seq long, image_id string, part int, phash long"
+    )
+    hot = hot_buckets(images, cap=100).collect()
+    assert len(hot) == 28  # all 28 band-pair buckets of the hot phash
+    assert all(r["n_members"] == n_hot for r in hot)
+
+    pairs = candidate_pairs(images, cap=100).collect()
+    # the distinct-phash pair survives; the 3000² hot clique is diverted
+    assert {(r["seq_a"], r["seq_b"]) for r in pairs} == {(n_hot, n_hot + 1)}
+
+
+def test_near_dup_cap_preserves_normal_fixture_pairs(spark):
+    """Default cap leaves the healthy fixture's pair set unchanged."""
+    from pqc.constraints.near_dup import candidate_pairs
+
+    images = spark.read.parquet(cached_images_path(spark, 2000))
+    capped = {
+        (r["seq_a"], r["seq_b"]) for r in candidate_pairs(images).collect()
+    }
+    uncapped = {
+        (r["seq_a"], r["seq_b"])
+        for r in candidate_pairs(images, cap=10**9).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
