@@ -1,8 +1,12 @@
 """Driver-contract queries over the north-star images table.
 
 These operate on the deterministic synthetic fixture (pqc/fixtures.py,
-seed 42 — FIXTURES.md), not the sf parquet tables, so they carry no
-DuckDB oracle: the driver records the weaker rows-only check, and the
+seed 42 — FIXTURES.md). The metadata-level queries (partition stats,
+phash near-dup, drift, caption screen) ARE DuckDB-oracle-checked: the
+fixture's payload-free projection is written to a parquet path the
+oracle reads via read_parquet(), and each oracle mirrors the Spark
+semantics in portable SQL. Only the decode-island queries (suite
+verdicts / violation rows / integrity summary) have no oracle — their
 row-level correctness gate lives in tests/test_image_island.py (exact
 violation-set parity against the anomaly schedule + pixel roundtrips
 vs the local reference decode).
@@ -10,17 +14,51 @@ vs the local reference decode).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pqc.registry import register
+from pqc.skew import DEFAULT_BAND_CAP as _BAND_CAP
 
 FIXTURE_ROWS = 2000
+
+_META_COLS = ("seq", "image_id", "w", "h", "fmt", "caption", "phash", "part")
+
+
+def meta_parquet_path(n_rows: int = FIXTURE_ROWS, shift: int = 0) -> str:
+    """Payload-free fixture projection on disk — the oracle's input."""
+    return f"/tmp/pqc_fixtures/images_meta_n{n_rows}_s{shift}"
+
+
+def _meta_glob(n_rows: int = FIXTURE_ROWS, shift: int = 0) -> str:
+    return f"read_parquet('{meta_parquet_path(n_rows, shift)}/*.parquet')"
+
+
+def _ensure_meta_parquet(spark: SparkSession, n_rows: int, shift: int = 0) -> None:
+    """Write the payload-free projection once per (n_rows, shift) so the
+    driver's DuckDB oracle can read the same rows the Spark query sees.
+    Cheap: metadata only, no bytes column."""
+    import os
+
+    from pqc.fixtures import cached_images_path
+
+    path = meta_parquet_path(n_rows, shift)
+    if not os.path.exists(path + "/_SUCCESS"):
+        (
+            spark.read.parquet(cached_images_path(spark, n_rows, shift))
+            .select(*_META_COLS)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
 
 
 def _images(spark: SparkSession) -> DataFrame:
     from pqc.fixtures import cached_images_path
 
+    _ensure_meta_parquet(spark, FIXTURE_ROWS)
     return spark.read.parquet(cached_images_path(spark, FIXTURE_ROWS))
 
 
@@ -53,38 +91,122 @@ def images_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.orderBy("constraint", "image_id")
 
 
-@register("images_partition_stats")
+_PSTATS_ORACLE = f"""
+SELECT part,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT image_id) AS n_distinct_image_id,
+       SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null_w,
+       MIN(w) AS min_w, MAX(w) AS max_w,
+       ROUND(quantile_cont(w, 0.50), 4) AS p50_w,
+       ROUND(quantile_cont(w, 0.95), 4) AS p95_w,
+       SUM(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS n_null_h,
+       MIN(h) AS min_h, MAX(h) AS max_h,
+       ROUND(quantile_cont(h, 0.50), 4) AS p50_h,
+       ROUND(quantile_cont(h, 0.95), 4) AS p95_h,
+       SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS n_null_caption
+FROM {_meta_glob()}
+GROUP BY part
+"""
+
+
+@register("images_partition_stats", oracle=_PSTATS_ORACLE)
 def images_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition column profile: counts, HLL distinct, min/max,
-    t-digest quantiles (north-rule stats layer)."""
-    from pqc.stats import partition_profile
+    """Per-partition column profile: counts / distincts / null counts /
+    min-max / exact interpolated quantiles — the oracle-able twin of the
+    sketch profile (pqc/stats.py: HLL approx-distinct + percentile_approx
+    t-digests, which are engine-specific and therefore rows-only;
+    tests/test_scale_mechanics.py bounds the sketches against these
+    exact values)."""
+    imgs = _images(spark)
+    qw = F.percentile(F.col("w"), F.array(F.lit(0.5), F.lit(0.95)))
+    qh = F.percentile(F.col("h"), F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        imgs.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("image_id").alias("n_distinct_image_id"),
+            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).alias("n_null_w"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+            qw.alias("qw"),
+            F.sum(F.when(F.col("h").isNull(), 1).otherwise(0)).alias("n_null_h"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            qh.alias("qh"),
+            F.sum(F.when(F.col("caption").isNull(), 1).otherwise(0)).alias(
+                "n_null_caption"
+            ),
+        )
+        .select(
+            "part",
+            "n_rows",
+            "n_distinct_image_id",
+            "n_null_w",
+            "min_w",
+            "max_w",
+            F.round(F.col("qw")[0], 4).alias("p50_w"),
+            F.round(F.col("qw")[1], 4).alias("p95_w"),
+            "n_null_h",
+            "min_h",
+            "max_h",
+            F.round(F.col("qh")[0], 4).alias("p50_h"),
+            F.round(F.col("qh")[1], 4).alias("p95_h"),
+            "n_null_caption",
+        )
+        .orderBy("part")
+    )
 
-    prof = partition_profile(_images(spark))
-    # arrays → strings for a stable rows-only fingerprint
-    return prof.select(
-        "part",
-        "n_rows",
-        "approx_distinct_image_id",
-        "n_null_w",
-        "min_w",
-        "max_w",
-        F.col("quantiles_w").cast("string").alias("quantiles_w"),
-        "n_null_h",
-        "min_h",
-        "max_h",
-        F.col("quantiles_h").cast("string").alias("quantiles_h"),
-    ).orderBy("part")
+
+# The band-pair LSH is pigeonhole-COMPLETE for hamming ≤ 6 (8 bands,
+# ≤ 6 dirty ⇒ ≥ 2 clean ⇒ some pair of clean bands collides), so with
+# no hot bucket diverted the banded result EQUALS the quadratic truth —
+# which is what the oracle computes directly (2000² is nothing for
+# DuckDB). A genuinely independent check: different algorithm, same set.
+_ND_ORACLE = f"""
+WITH m AS (
+  SELECT seq, image_id, part, phash FROM {_meta_glob()} WHERE phash IS NOT NULL
+)
+SELECT a.seq AS seq_a, b.seq AS seq_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming,
+       a.image_id AS image_id_a, b.image_id AS image_id_b, b.part AS part_b
+FROM m a JOIN m b ON a.seq < b.seq
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
 
 
-@register("images_near_dup_pairs")
+@register("images_near_dup_pairs", oracle=_ND_ORACLE)
 def images_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded phash self-join near-duplicate pairs (hamming ≤ 6)."""
+    """Banded phash self-join near-duplicate pairs (hamming ≤ 6),
+    oracle-checked against the exact quadratic pair set."""
     from pqc.constraints.near_dup import candidate_pairs
 
     return candidate_pairs(_images(spark)).orderBy("seq_a", "seq_b")
 
 
-@register("images_near_dup_hot_buckets")
+def _band_pair_values() -> str:
+    from itertools import combinations
+
+    return ", ".join(
+        f"({pid}, {i}, {j})"
+        for pid, (i, j) in enumerate(combinations(range(8), 2))
+    )
+
+
+_HOT_BUCKETS_ORACLE = f"""
+WITH bp AS (SELECT * FROM (VALUES {_band_pair_values()}) AS bp(band_idx, bi, bj)),
+m AS (SELECT phash FROM {_meta_glob()} WHERE phash IS NOT NULL),
+bands AS (
+  SELECT bp.band_idx,
+         CAST(((phash >> (bi * 8)) & 255) * 256 + ((phash >> (bj * 8)) & 255)
+              AS BIGINT) AS band_val
+  FROM m, bp
+)
+SELECT band_idx, band_val, COUNT(*) AS n_members
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > {_BAND_CAP}
+"""
+
+
+@register("images_near_dup_hot_buckets", oracle=_HOT_BUCKETS_ORACLE)
 def images_near_dup_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guard surface: phash band-pair buckets above the member cap
     that were diverted from the quadratic pair join (pqc/skew.py).
@@ -121,7 +243,39 @@ def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("images_drift_check")
+def _ks_case_sql(base_glob: str, other_glob: str, label: str) -> str:
+    """One drift-verdict row: two-sample KS over `w`, mirroring
+    pqc/constraints/drift.py (group by value → cumulative counts over
+    the grouped domain → max |ECDF diff|)."""
+    return f"""
+SELECT 'drift:ks[w]' AS constraint,
+       ROUND(ks_stat, 6) AS ks_stat,
+       CAST(0.1 AS DOUBLE) AS threshold,
+       ks_stat <= CAST(0.1 AS DOUBLE) AS passed,
+       '{label}' AS "case"
+FROM (
+  WITH u AS (
+    SELECT CAST(w AS DOUBLE) AS v, 1 AS ia, 0 AS ib FROM {base_glob} WHERE w IS NOT NULL
+    UNION ALL
+    SELECT CAST(w AS DOUBLE) AS v, 0 AS ia, 1 AS ib FROM {other_glob} WHERE w IS NOT NULL
+  ),
+  byv AS (SELECT v, SUM(ia) AS na, SUM(ib) AS nb FROM u GROUP BY v),
+  cum AS (SELECT v, SUM(na) OVER (ORDER BY v) AS ca, SUM(nb) OVER (ORDER BY v) AS cb FROM byv),
+  tot AS (SELECT SUM(ia) AS ta, SUM(ib) AS tb FROM u)
+  SELECT MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) AS ks_stat
+  FROM cum, tot
+)
+"""
+
+
+_DRIFT_ORACLE = (
+    _ks_case_sql(_meta_glob(), _meta_glob(), "null")
+    + "\nUNION ALL\n"
+    + _ks_case_sql(_meta_glob(), _meta_glob(FIXTURE_ROWS, 4), "shifted")
+)
+
+
+@register("images_drift_check", oracle=_DRIFT_ORACLE)
 def images_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS drift of the width distribution: fixture vs its shifted
     variant (positive control) and vs itself (null control)."""
@@ -130,15 +284,124 @@ def images_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = _images(spark)
     shifted = spark.read.parquet(cached_images_path(spark, FIXTURE_ROWS, shift=4))
+    _ensure_meta_parquet(spark, FIXTURE_ROWS, shift=4)
     null_case = drift_verdict(cur, cur, "w").withColumn("case", F.lit("null"))
     pos_case = drift_verdict(cur, shifted, "w").withColumn("case", F.lit("shifted"))
     return null_case.unionByName(pos_case)
 
 
-@register("images_banned_caption_screen")
+def _caption_dim_values() -> str:
+    """Synonym dim as a VALUES list with DuckDB-safe (RE2, no
+    lookarounds) boundary patterns: the lookbehind/lookahead pair of
+    text_rules._synonym_dim becomes consuming [^a-z0-9] classes matched
+    against the space-padded segment — identical hit existence."""
+    from pqc.fixtures import synonyms_pdf
+
+    rows = []
+    for r in synonyms_pdf().itertuples():
+        variant = r.synonym.lower()
+        inner = _re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", variant)
+        inner = _re.sub(r"[\s-]+", r"[\\s-]+", inner)
+        rows.append(
+            f"('{r.canonical.lower()}', '{r.type}', '{variant}', "
+            f"'[^a-z0-9]{inner}[^a-z0-9]')"
+        )
+    return ",\n        ".join(rows)
+
+
+def _mojibake_repair_sql(col: str) -> str:
+    from pqc.constraints.text_rules import _MOJIBAKE
+
+    expr = col
+    for bad, good in _MOJIBAKE:
+        expr = f"replace({expr}, '{bad}', '{good.replace(chr(39), chr(39) * 2)}')"
+    return expr
+
+
+_CAPTION_SCREEN_ORACLE = f"""
+WITH meta AS (
+  SELECT image_id, caption FROM {_meta_glob()} WHERE caption IS NOT NULL
+),
+norm AS (
+  SELECT image_id,
+         trim(regexp_replace(lower({_mojibake_repair_sql('caption')}), '\\s+', ' ', 'g')) AS cap
+  FROM meta
+),
+seg0 AS (
+  SELECT image_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(cap, '\\band\\b', ',', 'g'), '[;,.()/\\[\\]]')) AS s
+  FROM norm
+),
+segs AS (
+  SELECT image_id, trim(s) AS segment FROM seg0 WHERE length(trim(s)) >= 2
+),
+uniq AS (SELECT DISTINCT segment FROM segs),
+dim AS (
+  SELECT * FROM (VALUES
+        {_caption_dim_values()}
+  ) AS d(canonical, syn_type, variant, pattern)
+),
+exact AS (
+  SELECT u.segment, d.canonical, d.syn_type,
+         'exact' AS match_kind, CAST(100.0 AS DOUBLE) AS score
+  FROM uniq u JOIN dim d ON regexp_matches(' ' || u.segment || ' ', d.pattern)
+),
+toks AS (SELECT segment, string_split(segment, ' ') AS t FROM uniq),
+grams AS (
+  SELECT DISTINCT segment, array_to_string(t[i:i+n-1], ' ') AS gram
+  FROM toks,
+       UNNEST(generate_series(1, len(t))) AS gi(i),
+       UNNEST([1, 2, 3]) AS gn(n)
+  WHERE i + n - 1 <= len(t)
+),
+fz AS (
+  SELECT g.segment, d.canonical, d.syn_type,
+         1 - CAST(levenshtein(g.gram, d.variant) AS DOUBLE)
+             / GREATEST(length(g.gram), length(d.variant)) AS ratio
+  FROM grams g JOIN dim d
+    ON ABS(length(g.gram) - length(d.variant)) <= GREATEST(2, length(d.variant) * 0.25)
+   AND length(d.variant) >= 4
+),
+fuzzy AS (
+  SELECT segment, canonical, syn_type, 'fuzzy' AS match_kind,
+         MAX(ratio * 100) AS score
+  FROM fz WHERE ratio >= 0.85
+  GROUP BY segment, canonical, syn_type
+),
+fuzzy2 AS (
+  SELECT f.* FROM fuzzy f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM exact e
+    WHERE e.segment = f.segment AND e.canonical = f.canonical
+  )
+),
+hits AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy2),
+joined AS (
+  SELECT s.image_id, h.canonical, h.syn_type, h.match_kind, h.score
+  FROM segs s JOIN hits h ON s.segment = h.segment
+),
+best AS (
+  SELECT image_id, canonical, syn_type, match_kind,
+         ROW_NUMBER() OVER (
+           PARTITION BY image_id, canonical, syn_type
+           ORDER BY CASE WHEN match_kind = 'exact' THEN 1 ELSE 0 END DESC,
+                    score DESC
+         ) AS rk
+  FROM joined
+)
+SELECT canonical, syn_type, match_kind, COUNT(*) AS n_hits
+FROM best WHERE rk = 1
+GROUP BY 1, 2, 3
+"""
+
+
+@register("images_banned_caption_screen", oracle=_CAPTION_SCREEN_ORACLE)
 def images_banned_caption_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage text screen over captions (exact boundary join +
-    levenshtein fuzzy), rolled up per canonical term."""
+    levenshtein fuzzy), rolled up per canonical term. DuckDB oracle
+    mirrors the entire pipeline (normalize → segment → exact regex →
+    fuzzy gram levenshtein → best-evidence → rollup) in RE2-safe SQL."""
     from pqc.constraints import SuiteContext
     from pqc.constraints.text_rules import screen_hits
 
