@@ -54,6 +54,7 @@ def _load_modules() -> None:
         return
     from pqc import (  # noqa: F401
         catalog_packs,
+        compliance_packs,
         dedup,
         events_ops,
         image_queries,

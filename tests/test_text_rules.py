@@ -114,3 +114,18 @@ def test_exact_beats_fuzzy_per_canonical(spark):
     hits = screen_hits(ctx).filter(F.col("canonical") == "tea").collect()
     assert len(hits) == 1
     assert hits[0]["match_kind"] == "exact"
+
+
+def test_novel_food_threshold_parameter(spark):
+    """The slider semantics (app.py:454-456): lowering the threshold
+    catches more variants; row 11 sits exactly in the 80-87 band."""
+    from pqc.compliance_packs import novel_food_screen
+
+    at87 = {(r["row_id"], r["canonical"]) for r in novel_food_screen(spark, "").collect()}
+    at80 = {
+        (r["row_id"], r["canonical"])
+        for r in novel_food_screen(spark, "", threshold=80).collect()
+    }
+    assert at87 < at80
+    assert all(rid != 11 for rid, _ in at87)
+    assert any(rid == 11 for rid, _ in at80)
