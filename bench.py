@@ -41,9 +41,11 @@ HEADLINE_QUERIES = (
     "ngram_jaccard_pairs",
     "minhash_lsh_dedup",
     "simhash_fingerprint",
+    "simhash_near_dup_pairs",
     "knn_brute_force_cosine",
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_bucketed",
     "competitor_topk_match",
     "event_value_pivot",
     "npm_hfss_score",

@@ -28,6 +28,16 @@ SHINGLE_K = 4  # words per shingle
 JACCARD_THRESHOLD = 0.2
 MINHASH_K = 8  # permutations
 MINHASH_BANDS = 4  # bands of 2 rows each
+# hot-shingle document-frequency cap: shingles in > MAX_SHINGLE_DF docs
+# (boilerplate) are excluded from CANDIDATE GENERATION — a stopword-
+# heavy shingle otherwise makes its inverted-index bucket quadratic.
+# Verification still scores candidates on the FULL shingle sets, so
+# surviving pairs carry their true Jaccard; only pairs whose every
+# shared shingle is boilerplate are forfeited (standard corpus-dedup
+# trade). Testdata is nowhere near the cap (max df 4 at 500 docs), so
+# the oracle mirror is exercised as an exact no-op here and the guard
+# as a bound in tests/test_scale_mechanics.py.
+MAX_SHINGLE_DF = 100
 
 # ---------------------------------------------------------------------------
 # Exact dedup (bag-of-words key): hash-groupBy on a fingerprint
@@ -86,10 +96,18 @@ def _shingles_sql(k: int = SHINGLE_K) -> str:
 
 _JACCARD_ORACLE = f"""
 WITH sh AS ({_shingles_sql()}),
+dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE dfc.df <= {MAX_SHINGLE_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -117,26 +135,47 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
     )
 
 
+def capped_shingles(sh: DataFrame, cap: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Exclude shingles whose document frequency exceeds *cap* from
+    candidate generation (the inverted index's skew guard: one
+    boilerplate shingle in d docs contributes d²/2 candidate pairs).
+    The df count is a map-side-combined aggregate; the hot list is tiny
+    by construction, so the diversion is a broadcast anti-join."""
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfc.filter(F.col("df") > cap)
+    return sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+
+
 @register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-4-gram Jaccard ≥ 0.2.
 
-    Inverted-index self-join: explode distinct shingles, equi-join on
-    the shingle (a Catalyst hash join — never a cross join), count
-    intersections, rejoin per-doc sizes. This is the reference's
-    segment-index pattern (`banningredients.py:172-182`) lifted to
-    pair generation. At 10^12 scale the hot-shingle skew guard is the
-    MinHash variant below (band keys bound collision counts).
+    Inverted-index self-join with a hot-shingle df cap: candidates come
+    from the equi-join over shingles in ≤ MAX_SHINGLE_DF docs (a
+    Catalyst hash join — never a cross join, and never quadratic in a
+    boilerplate shingle's bucket); intersections are then counted over
+    the FULL shingle sets, so surviving pairs carry their true Jaccard.
+    This is the reference's segment-index pattern
+    (`banningredients.py:172-182`) lifted to pair generation, with the
+    same screen→confirm layering as MinHash below.
     """
     sh = _shingle_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    cold = capped_shingles(sh)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jacc = (
@@ -305,6 +344,12 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM. Hamming-ball near-dup search over these is the text twin
     of the phash band join in pqc/constraints/near_dup.py.
     """
+    return _simhash_df(spark, sf_dir)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — shared by the fingerprint query and the
+    hamming-ball search below."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
@@ -332,3 +377,81 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-ball near-dup search (text twin of the phash band join)
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # 4 × 8-bit bands: ≤ 3 dirty bits ⇒ ≥ 1 clean band
+
+_SIMHASH_ND_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tk
+  FROM documents WHERE {_NONEMPTY}
+),
+tf AS (
+  SELECT doc_id, {hash64_sql_duckdb('tk')} AS h, COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, tk
+),
+bits AS (
+  SELECT doc_id, g.b AS b,
+         SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM tf, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS g(b)
+  GROUP BY doc_id, g.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register("simhash_near_dup_pairs", oracle=_SIMHASH_ND_ORACLE)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup search over the SimHash fingerprints —
+    the text twin of the phash band join (pqc/constraints/near_dup.py).
+
+    4 disjoint 8-bit bands: two fingerprints at hamming ≤ 3 have at
+    most 3 dirty bands, so at least one band matches exactly
+    (pigeonhole-complete ⇒ the banded set EQUALS the quadratic truth,
+    which is what the oracle computes directly). Candidates bound by
+    band collisions (n²/2^8 per band at corpus scale instead of n²);
+    the exact bit_count confirm runs only on collisions."""
+    sig = _simhash_df(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.expr(f"(simhash >> {i * 8}) & 255").alias("band_val"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    bk = sig.select(
+        "doc_id", "simhash", F.explode(band_keys).alias("band")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = bk.alias("a")
+    b = bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs

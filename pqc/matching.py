@@ -22,13 +22,16 @@ from pqc.rule_packs import spark_inline, values_cte
 # Competitor-style top-k similarity join with penalty rescoring (J6)
 # ---------------------------------------------------------------------------
 
-TOPK = 5
+TOPK = 8  # competitor_match.py:162 (k=8 default)
+WIDEN = max(3 * TOPK, 25)  # :180 "wider net; we'll trim after penalties"
 SIZE_PENALTY = 20
 BRAND_PENALTY = 15
+STRENGTH_PENALTY = 10  # :200-203, p_type as the strength analogue
 
 _COMPETITOR_ORACLE = f"""
 WITH q AS (
-  SELECT p_partkey AS qkey, p_name AS qname, p_brand AS qbrand, p_size AS qsize
+  SELECT p_partkey AS qkey, p_name AS qname, p_brand AS qbrand,
+         p_size AS qsize, p_type AS qcont
   FROM part WHERE p_partkey < 10
 ),
 qt AS (SELECT DISTINCT qkey, unnest(string_split(qname, ' ')) AS tok FROM q),
@@ -40,19 +43,30 @@ overlap AS (
   FROM qt JOIN ct ON qt.tok = ct.tok
   GROUP BY qt.qkey, ct.ckey
 ),
+raw AS (
+  SELECT qkey, ckey, raw_score FROM (
+    SELECT o.qkey, o.ckey,
+           CAST(o.n_common AS DOUBLE) * 100 / qn.n_q AS raw_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY o.qkey
+             ORDER BY CAST(o.n_common AS DOUBLE) * 100 / qn.n_q DESC, o.ckey ASC
+           ) AS rk_raw
+    FROM overlap o JOIN qn ON qn.qkey = o.qkey
+    WHERE o.qkey <> o.ckey
+  ) WHERE rk_raw <= {WIDEN}
+),
 scored AS (
-  SELECT o.qkey, o.ckey,
-         CAST(o.n_common AS DOUBLE) * 100 / qn.n_q
+  SELECT r.qkey, r.ckey,
+         r.raw_score
          - (CASE WHEN CAST(LEAST(q.qsize, c.p_size) AS DOUBLE)
                       / GREATEST(q.qsize, c.p_size) < 0.85
                  THEN {SIZE_PENALTY} ELSE 0 END)
          - (CASE WHEN q.qbrand <> c.p_brand THEN {BRAND_PENALTY} ELSE 0 END)
+         - (CASE WHEN q.qcont <> c.p_type THEN {STRENGTH_PENALTY} ELSE 0 END)
            AS adj_score
-  FROM overlap o
-  JOIN q ON q.qkey = o.qkey
-  JOIN qn ON qn.qkey = o.qkey
-  JOIN part c ON c.p_partkey = o.ckey
-  WHERE o.qkey <> o.ckey
+  FROM raw r
+  JOIN q ON q.qkey = r.qkey
+  JOIN part c ON c.p_partkey = r.ckey
 )
 SELECT qkey, ckey, ROUND(adj_score, 4) AS adj_score, rk FROM (
   SELECT qkey, ckey, adj_score,
@@ -64,19 +78,22 @@ SELECT qkey, ckey, ROUND(adj_score, 4) AS adj_score, rk FROM (
 
 @register("competitor_topk_match", oracle=_COMPETITOR_ORACLE)
 def competitor_topk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k similarity join with penalty rescoring over `part`:
-    token-overlap score (inverted-index equi-join, never a cross join)
-    − size-ratio penalty (−20 when min/max < 0.85,
-    `competitor_match.py:189-196`) − brand-mismatch penalty (−15,
-    flavour analogue `:197-199`), trimmed to k=5 per query by window
-    (`:207-208`). The candidate set is bounded by shared tokens —
-    the plan shape that survives 10^12 candidates."""
+    """Top-k similarity join with the reference's full rescoring ladder
+    (`competitor_match.py:159-208`): token-overlap raw score
+    (inverted-index equi-join, never a cross join), widened to the top
+    max(3k, 25)=25 raw candidates per query (`:180`), then penalised —
+    size-ratio −20 when min/max < 0.85 (`:189-196`), brand mismatch
+    −15 (flavour analogue, `:197-199`), type mismatch −10
+    (strength analogue, `:200-203`) — re-ranked on the adjusted score
+    and trimmed to k=8 (`:162,207-208`). Candidates are bounded by
+    shared tokens — the plan shape that survives 10^12 candidates."""
     part = load_table(spark, sf_dir, "part")
     q = part.filter(F.col("p_partkey") < 10).select(
         F.col("p_partkey").alias("qkey"),
         F.col("p_name").alias("qname"),
         F.col("p_brand").alias("qbrand"),
         F.col("p_size").alias("qsize"),
+        F.col("p_type").alias("qcont"),
     )
     qt = q.select(
         "qkey", F.explode(F.array_distinct(F.split("qname", " "))).alias("tok")
@@ -92,24 +109,37 @@ def competitor_topk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("qkey") != F.col("ckey"))
     )
+    w_raw = W.partitionBy("qkey").orderBy(
+        F.col("raw_score").desc(), F.col("ckey").asc()
+    )
+    raw = (
+        overlap.join(qn, "qkey")
+        .withColumn(
+            "raw_score", F.col("n_common").cast("double") * 100 / F.col("n_q")
+        )
+        .withColumn("rk_raw", F.row_number().over(w_raw))
+        .filter(F.col("rk_raw") <= WIDEN)
+        .select("qkey", "ckey", "raw_score")
+    )
     cand = part.select(
         F.col("p_partkey").alias("ckey"),
         F.col("p_brand").alias("cbrand"),
         F.col("p_size").alias("csize"),
+        F.col("p_type").alias("ccont"),
     )
     scored = (
-        overlap.join(F.broadcast(q.select("qkey", "qbrand", "qsize")), "qkey")
-        .join(qn, "qkey")
+        raw.join(F.broadcast(q.select("qkey", "qbrand", "qsize", "qcont")), "qkey")
         .join(cand, "ckey")
         .withColumn(
             "adj_score",
-            F.col("n_common").cast("double") * 100 / F.col("n_q")
+            F.col("raw_score")
             - F.when(
                 F.least("qsize", "csize").cast("double") / F.greatest("qsize", "csize")
                 < 0.85,
                 SIZE_PENALTY,
             ).otherwise(0)
-            - F.when(F.col("qbrand") != F.col("cbrand"), BRAND_PENALTY).otherwise(0),
+            - F.when(F.col("qbrand") != F.col("cbrand"), BRAND_PENALTY).otherwise(0)
+            - F.when(F.col("qcont") != F.col("ccont"), STRENGTH_PENALTY).otherwise(0),
         )
     )
     w = W.partitionBy("qkey").orderBy(F.col("adj_score").desc(), F.col("ckey").asc())

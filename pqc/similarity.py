@@ -112,6 +112,37 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + per-vector norm, computed once (never per pair)."""
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(_norm2(F.col("embedding")))
+    )
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest of the 8 deterministic centroids
+    (the first 8 vectors). Broadcast join against K centroids — a
+    linear scan; the only shuffle is the per-vector argmax window."""
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    wassign = W.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "acos",
+            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+        )
+        .select("vec_id", "centroid_id", F.row_number().over(wassign).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
 _IVF_ORACLE = f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
               FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
@@ -160,29 +191,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set shrinks ~K× vs brute force. Same two-stage
     screen→confirm shape as the reference prescreen (SURVEY §3.3).
     """
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", F.sqrt(_norm2(F.col("embedding")))
-    )  # norm once per vector, reused by assignment AND bucket search
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    wassign = W.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("centroid_id").asc()
-    )
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "acos",
-            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
-        )
-        .select(
-            "vec_id", "centroid_id", F.row_number().over(wassign).alias("rk")
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    emb = _emb_with_norm(spark, sf_dir)
+    assign = _ivf_assign(emb)
     q = (
         emb.join(assign, "vec_id")
         .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
@@ -262,6 +272,78 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_COS)
     )
     return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
+
+
+_EMB_ND_BUCKETED_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
+              FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
+                      (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                       * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
+                      cent.centroid_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rk = 1
+),
+side AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
+         {_dot_sql('a.embedding', 'b.embedding')} /
+           (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+            * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cos
+  FROM side a JOIN side b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, centroid_id, ROUND(cos, 8) AS cosine
+FROM pairs WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+@register("embedding_near_dup_bucketed", oracle=_EMB_ND_BUCKETED_ORACLE)
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup (cos ≥ 0.95), UNBOUNDED scope:
+    IVF-bucket prefilter → in-bucket pairs → exact cosine verify — the
+    screen→confirm shape that replaces the exact all-pairs baseline
+    (`embedding_near_dup_pairs`, kept as the bounded exactness control).
+
+    Scale story: pair generation is an equi-join on centroid_id, so
+    candidates shrink ~K× vs n²/2 (and with trained/multi-probe
+    centroids, near-linearly in cluster balance); norms attach once per
+    vector before the join. Recall trade: a pair straddling two
+    centroids is missed — standard single-probe IVF semantics, and the
+    oracle mirrors the same bucketing so the contract is explicit."""
+    emb = _emb_with_norm(spark, sf_dir)
+    assign = _ivf_assign(emb)
+    side = emb.join(assign, "vec_id")
+    a = side.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "centroid_id",
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+    )
+    return pairs.select("id_a", "id_b", "centroid_id", F.round("cos", 8).alias("cosine"))
 
 
 _NORM_ORACLE = f"""

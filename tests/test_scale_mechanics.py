@@ -121,3 +121,41 @@ def test_near_dup_cap_preserves_normal_fixture_pairs(spark):
         for r in candidate_pairs(images, cap=10**9).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_hot_shingle_cap_bounds_boilerplate_corpus(spark, tmp_path):
+    """A shared boilerplate 4-gram in every doc must not generate n²/2
+    candidates: the df cap diverts it, while pairs that also share a
+    rare shingle keep their true (full-set) Jaccard."""
+    import pandas as pd
+
+    from pqc.dedup import _shingle_df, capped_shingles
+
+    boiler = "terms and conditions apply"
+    docs = [(i, boiler + f" unique tail {i} {i} {i} {i}") for i in range(120)]
+    # docs 200/201 share rare shingles on top of the boilerplate
+    docs += [
+        (200, boiler + " rare shared shingle here alpha"),
+        (201, boiler + " rare shared shingle here beta"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+
+    sh = _shingle_df(spark, sf)
+    n_cold_boiler = (
+        capped_shingles(sh, cap=100).filter(F.col("s") == boiler).count()
+    )
+    assert n_cold_boiler == 0  # the df-122 shingle is diverted
+
+    from pqc.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(spark, sf).collect()}
+    # 100-101 found via their rare shared shingles; true jaccard uses
+    # the FULL sets (boilerplate included in sizes/intersection)
+    assert (200, 201) in pairs
+    assert all(k == (200, 201) for k in pairs)
