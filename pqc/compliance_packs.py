@@ -445,3 +445,151 @@ def novel_food_screen(
 register("novel_food_screen", oracle=_novel_oracle(NOVEL_THRESHOLD_DEFAULT))(
     novel_food_screen
 )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-address quality score
+# (artwork_processing_supplier_addresses.py:109-173)
+# ---------------------------------------------------------------------------
+
+UK_POSTCODE_RE = r"(?i)\b(?:GIR\s?0AA|[A-Z]{1,2}\d[A-Z\d]?\s*\d[ABD-HJLNP-UW-Z]{2})\b"
+STREET_RE = (
+    r"\b(street|str\.?|road|rd\.?|avenue|ave\.?|way|close|park|industrial"
+    r"|estate|unit|suite|po box|postbus)\b"
+)
+COMPANY_RE = r"\b(ltd\.?|limited|plc|gmbh|s\.?r\.?l\.?|s\.?a\.?|b\.?v\.?|slu|s\.?l\.?)\b"
+UK_CUES = (
+    "uk", "u.k.", "united kingdom", "england", "scotland", "wales", "gb",
+    "great britain", "northern ireland",
+)
+EU_COUNTRIES = (
+    "austria", "belgium", "bulgaria", "croatia", "cyprus", "czech republic",
+    "czechia", "denmark", "estonia", "finland", "france", "germany", "greece",
+    "hungary", "ireland", "italy", "latvia", "lithuania", "luxembourg",
+    "malta", "netherlands", "poland", "portugal", "romania", "slovakia",
+    "slovenia", "spain", "sweden",
+)
+
+_ADDR_COLS = ["row_id", "address", "expect"]
+ADDR_FIXTURE = [
+    (1, "Acme Foods Ltd\nUnit 5 Industrial Estate\nLondon\nNW1 4RT\nUnited Kingdom", "UK"),
+    (2, "Beta GmbH\nBerlin\nGermany", "UK"),
+    (3, "Gamma S.A.\n12 Rue de la Paix\nParis\nFrance", "EU"),
+    (4, "Delta BV\nKeizersgracht 1\nAmsterdam\nNetherlands\nSW1A 1AA", "EU"),
+    (5, "Epsilon Ltd\n42 Long Road,", "UK"),
+    (6, None, "UK"),
+    (7, "", "EU"),
+    (8, "Zeta Foods\nYork", "UK"),
+]
+
+# score terms ×10 as integers (0.8 → 8) so both engines sum exactly;
+# the final /10.0 is a single exact-in-double division
+_NL = "chr(10)"
+
+
+def _any_instr_sql(col: str, needles: tuple[str, ...]) -> str:
+    return "(" + " OR ".join(f"instr({col}, '{n}') > 0" for n in needles) + ")"
+
+
+_ADDR_ORACLE = f"""
+WITH {values_cte(ADDR_FIXTURE, _ADDR_COLS, 'a')},
+feat AS (
+  SELECT row_id, expect, address,
+         lower(COALESCE(address, '')) AS t,
+         len(list_filter(string_split(COALESCE(address, ''), {_NL}),
+                         x -> length(trim(x)) > 0)) AS n_lines,
+         regexp_matches(lower(COALESCE(address, '')), '{STREET_RE}') AS has_street,
+         regexp_matches(lower(COALESCE(address, '')), '{COMPANY_RE}') AS has_company,
+         regexp_matches(COALESCE(address, ''), '{UK_POSTCODE_RE}') AS ukpc,
+         CASE WHEN address IS NULL OR trim(address) = '' THEN FALSE
+              WHEN right(trim(address), 1) IN (',', ';') THEN TRUE
+              WHEN len(string_split_regex(trim(list_extract(
+                     string_split(trim(address), {_NL}),
+                     len(string_split(trim(address), {_NL})))), ' +')) <= 2
+                   THEN TRUE ELSE FALSE END AS truncated
+  FROM a
+),
+cues AS (
+  SELECT *, {_any_instr_sql('t', UK_CUES)} AS ukm,
+            {_any_instr_sql('t', EU_COUNTRIES)} AS eum
+  FROM feat
+)
+SELECT row_id,
+       CASE WHEN ukpc OR {_any_instr_sql('t', UK_CUES)} THEN 'UK'
+            WHEN eum THEN 'EU' ELSE 'UNK' END AS country_hint,
+       CASE WHEN address IS NULL OR address = '' THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(
+         LEAST(n_lines, 5) * 8
+         + (CASE WHEN has_street THEN 12 ELSE 0 END)
+         + (CASE WHEN has_company THEN 8 ELSE 0 END)
+         + (CASE WHEN expect = 'UK' THEN
+               (CASE WHEN ukpc THEN 20 ELSE 0 END)
+             + (CASE WHEN ukm THEN 10 ELSE 0 END)
+             - (CASE WHEN eum THEN 10 ELSE 0 END)
+            ELSE
+               (CASE WHEN eum THEN 15 ELSE 0 END)
+             - (CASE WHEN ukpc THEN 15 ELSE 0 END)
+             - (CASE WHEN ukm THEN 8 ELSE 0 END)
+            END)
+         - (CASE WHEN truncated THEN 6 ELSE 0 END)
+         AS DOUBLE) / 10 END AS score
+FROM cues
+"""
+
+
+def _any_instr_spark(col: Column, needles: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for n in needles:
+        cond = cond | (F.instr(col, n) > 0)
+    return cond
+
+
+@register("address_quality_score", oracle=_ADDR_ORACLE)
+def address_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-address quality scoring + country hint
+    (`artwork_processing_supplier_addresses.py:109-173`): line count
+    (0.8/line, capped 5), street/company cues (+1.2/+0.8), expectation-
+    conditioned UK-postcode/UK-cue/EU-country terms (+2.0/+1.0/−1.0 for
+    UK expectation; +1.5/−1.5/−0.8 otherwise), truncation −0.6. Terms
+    are summed ×10 in integers so both engines agree exactly; the
+    single /10 division is exact in double."""
+    a = spark_inline(spark, ADDR_FIXTURE, _ADDR_COLS)
+    addr = F.coalesce(F.col("address"), F.lit(""))
+    t = F.lower(addr)
+    n_lines = F.size(
+        F.filter(F.split(addr, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    )
+    stripped = F.trim(F.col("address"))
+    last_line = F.element_at(F.split(stripped, "\n"), -1)
+    truncated = (
+        F.when(F.col("address").isNull() | (stripped == ""), F.lit(False))
+        .when(F.substring(stripped, -1, 1).isin(",", ";"), F.lit(True))
+        .when(F.size(F.split(F.trim(last_line), " +")) <= 2, F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    ukpc = addr.rlike(UK_POSTCODE_RE)
+    ukm = _any_instr_spark(t, UK_CUES)
+    eum = _any_instr_spark(t, EU_COUNTRIES)
+    score10 = (
+        F.least(n_lines, F.lit(5)) * 8
+        + F.when(t.rlike(STREET_RE), 12).otherwise(0)
+        + F.when(t.rlike(COMPANY_RE), 8).otherwise(0)
+        + F.when(
+            F.col("expect") == "UK",
+            F.when(ukpc, 20).otherwise(0)
+            + F.when(ukm, 10).otherwise(0)
+            - F.when(eum, 10).otherwise(0),
+        ).otherwise(
+            F.when(eum, 15).otherwise(0)
+            - F.when(ukpc, 15).otherwise(0)
+            - F.when(ukm, 8).otherwise(0)
+        )
+        - F.when(truncated, 6).otherwise(0)
+    )
+    score = F.when(
+        F.col("address").isNull() | (F.col("address") == ""), F.lit(0.0)
+    ).otherwise(score10.cast("double") / 10)
+    hint = (
+        F.when(ukpc | ukm, "UK").when(eum, "EU").otherwise("UNK")
+    )
+    return a.select("row_id", hint.alias("country_hint"), score.alias("score"))

@@ -55,6 +55,12 @@ class SuiteContext:
             self._integrity.persist()
         return self._integrity
 
+    def track_persist(self, df: DataFrame) -> DataFrame:
+        """persist() a helper DataFrame and register it for release()."""
+        df.persist()
+        self.extras.setdefault("_persisted", []).append(df)
+        return df
+
     def release(self) -> None:
         """Unpersist the shared caches (idempotent). Call when the run's
         outputs have been materialized — repeated suite runs in one
@@ -65,6 +71,8 @@ class SuiteContext:
         if self._integrity is not None:
             self._integrity.unpersist()
             self._integrity = None
+        for df in self.extras.pop("_persisted", []):
+            df.unpersist()
 
 
 def as_violation(df: DataFrame, constraint: str, detail_col) -> DataFrame:

@@ -91,11 +91,10 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
         F.explode(segment_caption(F.col("caption"))).alias("segment"),
     )
     # dedupe the probe side: work scales with distinct segments (:170-182).
-    # Persisted: the exact pass, the fuzzy pass, and its anti-join all
-    # probe this small set — without the cache each branch re-runs the
-    # full explode+dedup over every caption.
-    uniq = segs.select("segment").dropDuplicates()
-    uniq.persist()
+    # Persisted (released via ctx.release()): the exact pass, the fuzzy
+    # pass, and its anti-join all probe this small set — without the
+    # cache each branch re-runs the full explode+dedup over every caption.
+    uniq = ctx.track_persist(segs.select("segment").dropDuplicates())
     dim = F.broadcast(_synonym_dim(ctx))
 
     exact = uniq.join(dim, F.expr("segment rlike pattern")).select(

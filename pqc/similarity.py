@@ -226,6 +226,175 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+IVF_NPROBE = 2
+
+# trained-centroid CTEs shared by the multiprobe oracle: one Lloyd
+# iteration from the deterministic init (decimal-exact per-dimension
+# means so both engines produce bit-identical centroids)
+_TRAINED_CENT_SQL = f"""
+cent0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+          FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+assign0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent0.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dot_sql('e.embedding', 'cent0.ce')} /
+                      (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                       * sqrt({_dot_sql('cent0.ce', 'cent0.ce')})) DESC,
+                      cent0.centroid_id ASC
+           ) AS rk
+    FROM embeddings e CROSS JOIN cent0
+  ) WHERE rk = 1
+),
+dims AS (
+  SELECT a.centroid_id, g.i,
+         CAST(SUM(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) / COUNT(*) AS v
+  FROM embeddings e
+  JOIN assign0 a ON e.vec_id = a.vec_id,
+       UNNEST(generate_series(1, {EMB_DIM})) AS g(i)
+  GROUP BY a.centroid_id, g.i
+),
+cent AS (SELECT centroid_id, list(v ORDER BY i) AS ce FROM dims GROUP BY centroid_id)
+"""
+
+_MULTIPROBE_ORACLE = f"""
+WITH {_TRAINED_CENT_SQL},
+scored_assign AS (
+  SELECT e.vec_id, cent.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
+                    (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                     * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
+                    cent.centroid_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent
+),
+bucket AS (
+  SELECT e.vec_id AS cid, e.embedding AS ce2, s.centroid_id
+  FROM embeddings e JOIN scored_assign s ON e.vec_id = s.vec_id AND s.rk = 1
+),
+probes AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, s.centroid_id
+  FROM embeddings e JOIN scored_assign s
+    ON e.vec_id = s.vec_id AND s.rk <= {IVF_NPROBE}
+  WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}
+)
+SELECT qid, cid, ROUND(cos, 8) AS cosine, rk FROM (
+  SELECT p.qid, b.cid,
+         {_dot_sql('p.qe', 'b.ce2')} /
+           (sqrt({_dot_sql('p.qe', 'p.qe')}) * sqrt({_dot_sql('b.ce2', 'b.ce2')})) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.qid
+           ORDER BY {_dot_sql('p.qe', 'b.ce2')} /
+             (sqrt({_dot_sql('p.qe', 'p.qe')}) * sqrt({_dot_sql('b.ce2', 'b.ce2')})) DESC,
+             b.cid ASC
+         ) AS rk
+  FROM probes p JOIN bucket b ON p.centroid_id = b.centroid_id AND p.qid <> b.cid
+) WHERE rk <= 5
+"""
+
+
+def _lloyd_refined_centroids(emb: DataFrame) -> DataFrame:
+    """One Lloyd iteration from the deterministic seed centroids:
+    assign every vector (cosine argmax), then per-dimension decimal-
+    exact means → (centroid_id, ce, cn). The 100 TB version trains on a
+    sample with more rounds; the plan shape (broadcast assign → one
+    posexplode aggregate, all map-side-combinable) is unchanged."""
+    assign0 = _ivf_assign(emb)
+    dims = (
+        emb.join(assign0, "vec_id")
+        .select("centroid_id", F.posexplode("embedding").alias("i", "val"))
+        .groupBy("centroid_id", "i")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    return (
+        dims.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("sv"))
+        .select(
+            "centroid_id",
+            F.transform("sv", lambda x: x["v"]).alias("ce"),
+        )
+        .withColumn("cn", F.sqrt(_norm2(F.col("ce"))))
+    )
+
+
+@register("ivf_multiprobe_topk", oracle=_MULTIPROBE_ORACLE)
+def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with TRAINED centroids and multi-probe — the corpus-
+    scale ANN path the plain `ivf_ann_topk` approximates: one Lloyd
+    refinement of the deterministic seed (per-dimension decimal-exact
+    means keep both engines bit-identical), vectors bucketed by their
+    nearest trained centroid, queries probe their nearest two
+    centroids (IVF_NPROBE) and search both buckets. Multi-probe
+    recovers most boundary-straddling neighbours that single-probe
+    misses, at 2/K of the brute-force candidate set; at 100 TB the
+    same plan trains on a sample (k≈√n, a few rounds) and the probe
+    count becomes the recall/latency dial."""
+    emb = _emb_with_norm(spark, sf_dir)
+    cent = _lloyd_refined_centroids(emb)
+    wassign = W.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("centroid_id").asc()
+    )
+    scored_assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "acos",
+            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+        )
+        .select("vec_id", "centroid_id", F.row_number().over(wassign).alias("rk"))
+    )
+    bucket = emb.join(
+        scored_assign.filter(F.col("rk") == 1).select("vec_id", "centroid_id"),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce2"),
+        F.col("nrm").alias("nc"),
+        "centroid_id",
+    )
+    probes = (
+        emb.filter(
+            (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+        )
+        .join(
+            scored_assign.filter(F.col("rk") <= IVF_NPROBE).select(
+                "vec_id", "centroid_id"
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("nq"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        bucket.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos", _dot(F.col("qe"), F.col("ce2")) / (F.col("nq") * F.col("nc"))
+        )
+    )
+    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select("qid", "cid", "cos", F.row_number().over(wtop).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid", F.round("cos", 8).alias("cosine"), "rk")
+    )
+
+
 NEAR_DUP_COS = 0.95
 NEAR_DUP_SCOPE = 300  # bounded pair-search scope for the oracle tier
 

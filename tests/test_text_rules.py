@@ -129,3 +129,19 @@ def test_novel_food_threshold_parameter(spark):
     assert at87 < at80
     assert all(rid != 11 for rid, _ in at87)
     assert any(rid == 11 for rid, _ in at80)
+
+
+def test_address_quality_known_scores(spark):
+    """Hand-computed scores against the reference arithmetic
+    (artwork_processing_supplier_addresses.py:153-173)."""
+    from pqc.compliance_packs import address_quality_score
+
+    rows = {r["row_id"]: r for r in address_quality_score(spark, "").collect()}
+    # note: the reference counts a <=2-word last line as "truncated"
+    # (supplier_addresses.py:141-144), so "United Kingdom" endings
+    # carry the -0.6 too — 9.0 - 0.6 here
+    assert rows[1]["score"] == 8.4 and rows[1]["country_hint"] == "UK"
+    assert rows[4]["score"] == 4.2 and rows[4]["country_hint"] == "UK"  # postcode wins
+    assert rows[5]["score"] == 3.0  # truncated comma −0.6
+    assert rows[6]["score"] == 0.0 and rows[7]["score"] == 0.0
+    assert rows[8]["score"] == 1.0 and rows[8]["country_hint"] == "UNK"
