@@ -28,7 +28,7 @@ def _unit(seed: int) -> int:
     rng = np.random.default_rng(seed)
     a = rng.random((64, 64))
     acc = 0
-    for _ in range(60):
+    for _ in range(400):
         a = np.clip(a @ a.T / 64.0, 0, 1)
         acc += zlib.crc32(zlib.compress(a.tobytes(), 1))
     return acc & 0xFF

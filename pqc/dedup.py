@@ -27,7 +27,12 @@ _NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
 SHINGLE_K = 4  # words per shingle
 JACCARD_THRESHOLD = 0.2
 MINHASH_K = 8  # permutations
-MINHASH_BANDS = 4  # bands of 2 rows each
+# 8 bands × 1 row: at the LOW verify threshold (j ≥ 0.2) the 1-row
+# banding is the right (b, r): P(candidate) = 1-(1-j)^8 ≈ 0.83 at
+# j=0.2 (vs ≈0.15 for 4×2), at the cost of more false candidates —
+# which the exact-Jaccard confirm prunes. (b, r) is the recall dial:
+# raise r as the threshold rises.
+MINHASH_BANDS = 8  # bands of 1 row each
 # hot-shingle document-frequency cap: shingles in > MAX_SHINGLE_DF docs
 # (boilerplate) are excluded from CANDIDATE GENERATION — a stopword-
 # heavy shingle otherwise makes its inverted-index bucket quadratic.
@@ -206,7 +211,7 @@ _MH_COLS_SQL = ", ".join(
     f"MIN({minhash_perm_sql('hs', i + 1, 17 * i + 3)}) AS mh{i}" for i in range(MINHASH_K)
 )
 def _band_key_sql(b: int) -> str:
-    inner = f"concat('b{b}:', mh{2 * b}, ':', mh{2 * b + 1})"
+    inner = f"concat('b{b}:', mh{b})"
     return f"{hash64_sql_duckdb(inner)} AS band{b}"
 
 
@@ -219,7 +224,7 @@ sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM hs GROUP BY doc_id),
 bands AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
 bk AS (
   SELECT doc_id, band FROM bands
-  UNPIVOT (band FOR b IN (band0, band1, band2, band3))
+  UNPIVOT (band FOR b IN ({", ".join(f"band{b}" for b in range(MINHASH_BANDS))}))
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -244,7 +249,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESH
 
 @register("minhash_lsh_dedup", oracle=_MINHASH_ORACLE)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH(4 bands × 2 rows) near-dup candidates, verified
+    """MinHash(8) + LSH(8 bands × 1 row) near-dup candidates, verified
     with exact Jaccard ≥ 0.2.
 
     The scale path: signatures are 8 bigints/doc; band keys bound the
@@ -259,12 +264,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = hs.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
     band_cols = [
         hash64(
-            F.concat(
-                F.lit(f"b{b}:"),
-                F.col(f"mh{2 * b}").cast("string"),
-                F.lit(":"),
-                F.col(f"mh{2 * b + 1}").cast("string"),
-            )
+            F.concat(F.lit(f"b{b}:"), F.col(f"mh{b}").cast("string"))
         ).alias(f"band{b}")
         for b in range(MINHASH_BANDS)
     ]

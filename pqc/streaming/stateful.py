@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: cross-batch uniqueness.
+
+The batch suite's uniqueness constraint needs global state, which the
+windowed module deliberately leaves to the batch/ledger path. This is
+the true streaming form: per-key state via ``applyInPandasWithState``
+(Arrow-batched grouped state, the Python analogue of
+flatMapGroupsWithState) remembering the first-seen ``seq`` per
+``image_id`` across micro-batches and flagging every later occurrence
+— first-wins semantics matching the batch dedupe keeper
+(`artwork_processing_warnings_advisory.py:240-249`).
+
+Scale notes: state is 16 bytes/key (first_seq, n_seen) managed by the
+state store (RocksDB-backed on a real cluster); the shuffle is the
+groupBy(image_id) hash exchange that any keyed stateful op needs, and
+within a key the work is a vectorized pandas sort — no per-row Python
+beyond the per-KEY state transition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+VIOLATION_SCHEMA = "image_id string, seq long, constraint string, detail string"
+STATE_SCHEMA = "first_seq long, n_seen long"
+
+
+def _dedup_transition(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = [p for p in pdfs if len(p)]
+    if not batch:
+        return
+    pdf = pd.concat(batch, ignore_index=True).sort_values("seq")
+    if state.exists:
+        first_seq, n_seen = state.get
+        dup = pdf
+    else:
+        first_seq = int(pdf["seq"].iloc[0])
+        n_seen = 0
+        dup = pdf.iloc[1:]
+    state.update((first_seq, n_seen + len(pdf)))
+    if len(dup):
+        yield pd.DataFrame(
+            {
+                "image_id": key[0],
+                "seq": dup["seq"].astype("int64"),
+                "constraint": "uniqueness:image_id",
+                "detail": f"duplicate of first seq={first_seq}",
+            }
+        )
+
+
+def streaming_uniqueness_violations(
+    spark: SparkSession, images_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over an arriving images directory → stateful
+    first-wins duplicate detection across micro-batches. Emits the same
+    violation shape as the batch suite (plus the offending ``seq``)."""
+    from pqc.fixtures import IMAGE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(images_dir)
+    )
+    return (
+        stream.select("image_id", "seq")
+        .groupBy("image_id")
+        .applyInPandasWithState(
+            _dedup_transition,
+            outputStructType=VIOLATION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

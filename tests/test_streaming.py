@@ -57,3 +57,45 @@ def test_streaming_validation_matches_batch(spark):
     key = lambda r: (r["image_id"], r["constraint"], r["detail"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, batch))
     assert len(got) > 0
+
+
+def test_stateful_dedup_flags_cross_batch_duplicates(spark, tmp_path):
+    """applyInPandasWithState keeps first-seen seq per image_id across
+    micro-batches: a re-sent id in a LATER batch is flagged against the
+    original batch's keeper."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from pqc.streaming.stateful import streaming_uniqueness_violations
+    from pqc.streaming.windowed import run_to_completion
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["seq", "image_id"]
+        )
+        for col, val in [("bytes", None), ("w", 1), ("h", 1), ("fmt", "png"),
+                         ("caption", "c"), ("phash", 0), ("part", 0)]:
+            pdf[col] = val
+        pdf = pdf.astype({"seq": "int64", "w": "int32", "h": "int32",
+                          "phash": "int64", "part": "int32"})
+        p = str(src / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    write_file("b1.parquet", [(1, "A"), (2, "B")], now - 100)
+    write_file("b2.parquet", [(3, "A"), (4, "C"), (5, "C")], now - 50)
+
+    out = run_to_completion(
+        streaming_uniqueness_violations(spark, str(src)), "stateful_dedup"
+    ).collect()
+    flagged = {(r["image_id"], r["seq"]): r["detail"] for r in out}
+    assert set(flagged) == {("A", 3), ("C", 5)}
+    # the cross-batch duplicate references batch 1's keeper
+    assert flagged[("A", 3)] == "duplicate of first seq=1"
+    assert flagged[("C", 5)] == "duplicate of first seq=4"
