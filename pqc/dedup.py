@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pqc.exprs import hash64, hash64_sql_duckdb, minhash_perm, minhash_perm_sql
 from pqc.io import load_table
-from pqc.registry import register
+from pqc.registry import pin, register
 from pqc.text import NORM_SQL, TOKENS_SQL, norm_text, tokens
 
 _NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
@@ -164,8 +164,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`banningredients.py:172-182`) lifted to pair generation, with the
     same screen→confirm layering as MinHash below.
     """
-    sh = _shingle_df(spark, sf_dir)
-    cold = capped_shingles(sh)
+    sh = pin(_shingle_df(spark, sf_dir))  # reused 5×: df cap, 2 cand sides, sizes, 2 inter sides
+    cold = pin(capped_shingles(sh))
     a = cold.alias("a")
     b = cold.alias("b")
     cand = (
@@ -259,7 +259,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact signature. Verification re-joins shingles only for candidate
     pairs — the screen→confirm shape of `banningredients.py:185-268`.
     """
-    sh = _shingle_df(spark, sf_dir)
+    sh = pin(_shingle_df(spark, sf_dir))  # reused: signatures, sizes, both verify sides
     hs = sh.select("doc_id", hash64(F.col("s")).alias("hs"))
     sig = hs.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
     band_cols = [
@@ -269,12 +269,12 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(MINHASH_BANDS)
     ]
     bands = sig.select("doc_id", *band_cols)
-    bk = bands.select(
+    bk = pin(bands.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])).alias(
             "band"
         ),
-    )
+    ))
     a = bk.alias("a")
     b = bk.alias("b")
     cand = (
@@ -434,9 +434,10 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIMHASH_BANDS)
         ]
     )
-    bk = sig.select(
-        "doc_id", "simhash", F.explode(band_keys).alias("band")
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    bk = pin(
+        sig.select("doc_id", "simhash", F.explode(band_keys).alias("band"))
+        .select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    )
     a = bk.alias("a")
     b = bk.alias("b")
     pairs = (

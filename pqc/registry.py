@@ -25,10 +25,37 @@ class RegisteredQuery:
 
 REGISTRY: dict[str, RegisteredQuery] = {}
 
+# Intermediates pinned (persisted) by the CURRENT query. Self-joins over
+# an expensive subplan (IVF assignment, shingle tables) otherwise
+# recompute it once per join side — Spark only reuses identical
+# exchanges, not identical logical subtrees. Pins are released when the
+# next registered query starts (by then the previous result has been
+# collected), so at most one query's worth of small intermediates is
+# ever cached. unpersist() is lazy-safe: a released pin just recomputes.
+_PINNED: list = []
+
+
+def pin(df):
+    """persist() an intermediate for reuse inside the current query."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> None:
+    while _PINNED:
+        _PINNED.pop().unpersist()
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = RegisteredQuery(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        def wrapped(spark: SparkSession, sf_dir: str, *a, **k) -> DataFrame:
+            release_pins()
+            return fn(spark, sf_dir, *a, **k)
+
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__name__ = fn.__name__
+        REGISTRY[name] = RegisteredQuery(fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco

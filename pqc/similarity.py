@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pqc.io import load_table
-from pqc.registry import register
+from pqc.registry import pin, register
 
 KNN_K = 10
 N_QUERIES = 10
@@ -191,8 +191,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set shrinks ~K× vs brute force. Same two-stage
     screen→confirm shape as the reference prescreen (SURVEY §3.3).
     """
-    emb = _emb_with_norm(spark, sf_dir)
-    assign = _ivf_assign(emb)
+    emb = pin(_emb_with_norm(spark, sf_dir))
+    assign = pin(_ivf_assign(emb))
     q = (
         emb.join(assign, "vec_id")
         .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
@@ -341,12 +341,12 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses, at 2/K of the brute-force candidate set; at 100 TB the
     same plan trains on a sample (k≈√n, a few rounds) and the probe
     count becomes the recall/latency dial."""
-    emb = _emb_with_norm(spark, sf_dir)
+    emb = pin(_emb_with_norm(spark, sf_dir))
     cent = _lloyd_refined_centroids(emb)
     wassign = W.partitionBy("vec_id").orderBy(
         F.col("acos").desc(), F.col("centroid_id").asc()
     )
-    scored_assign = (
+    scored_assign = pin(
         emb.crossJoin(F.broadcast(cent))
         .withColumn(
             "acos",
@@ -491,7 +491,9 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the same bucketing so the contract is explicit."""
     emb = _emb_with_norm(spark, sf_dir)
     assign = _ivf_assign(emb)
-    side = emb.join(assign, "vec_id")
+    # pinned: the assignment subplan (argmax window over decimal dots)
+    # would otherwise recompute once per self-join side
+    side = pin(emb.join(assign, "vec_id"))
     a = side.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),

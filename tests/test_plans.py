@@ -115,3 +115,25 @@ def test_no_row_python_udfs_anywhere():
         if re.search(r"F\.udf\(|@udf\b|functions\.udf\(", src):
             bad.append(str(path))
     assert bad == []
+
+
+def test_similarity_queries_never_plan_cartesian(spark):
+    """The ANN/near-dup family must stay equi-join/broadcast shaped:
+    the only nested-loop allowed is the deliberate bounded broadcast
+    (query-set or centroid set), never an unbounded CartesianProduct."""
+    for name in (
+        "embedding_near_dup_bucketed",
+        "ivf_multiprobe_topk",
+        "simhash_near_dup_pairs",
+        "minhash_lsh_dedup",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR_SMALL))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_competitor_widen_then_trim_single_token_join(spark):
+    """Widen-then-trim must not add joins: one token equi-join feeds
+    both windows; candidate generation is never a cross join."""
+    plan = plan_of(REGISTRY["competitor_topk_match"].fn(spark, SF_DIR_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
