@@ -19,7 +19,7 @@ import re as _re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pqc.registry import register
+from pqc.registry import defer_release, register
 from pqc.skew import DEFAULT_BAND_CAP as _BAND_CAP
 
 FIXTURE_ROWS = 2000
@@ -74,6 +74,7 @@ def images_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images(spark)
     ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
     res = ValidationSuite().run(ctx)
+    defer_release(res.release)  # caches freed when the next query runs
     return res.verdicts.orderBy("part", "constraint")
 
 
@@ -88,6 +89,7 @@ def images_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images(spark)
     ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
     res = ValidationSuite().run(ctx)
+    defer_release(res.release)
     return res.violations.orderBy("constraint", "image_id")
 
 
@@ -225,6 +227,7 @@ def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pqc.constraints import SuiteContext
 
     ctx = SuiteContext(images=_images(spark))
+    defer_release(ctx.release)
     integ = ctx.integrity()
     return (
         integ.groupBy("fmt")
@@ -406,6 +409,7 @@ def images_banned_caption_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pqc.constraints.text_rules import screen_hits
 
     ctx = SuiteContext(images=_images(spark))
+    defer_release(ctx.release)
     return (
         screen_hits(ctx)
         .groupBy("canonical", "syn_type", "match_kind")

@@ -42,9 +42,21 @@ def pin(df):
     return df
 
 
+def defer_release(release_fn) -> None:
+    """Register a cleanup callable (e.g. SuiteResult.release) to run
+    when the next registered query starts — queries that build a full
+    SuiteContext must not leak its caches into later queries' plans
+    (Spark's CacheManager substitutes any cached plan fragment)."""
+    _PINNED.append(release_fn)
+
+
 def release_pins() -> None:
     while _PINNED:
-        _PINNED.pop().unpersist()
+        item = _PINNED.pop()
+        if callable(item):
+            item()
+        else:
+            item.unpersist()
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -86,6 +98,7 @@ def _load_modules() -> None:
         events_ops,
         image_queries,
         matching,
+        media,
         relational,
         rule_packs,
         similarity,

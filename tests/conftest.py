@@ -17,3 +17,14 @@ def spark():
     s = get_spark(parallelism=8, app_name="pqc-tests")
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_query_pins():
+    """Isolate tests from query-scoped caches: Spark's CacheManager
+    substitutes any cached plan fragment into later plans, which would
+    make plan-shape assertions order-dependent."""
+    yield
+    from pqc.registry import release_pins
+
+    release_pins()

@@ -103,6 +103,7 @@ def suite_result(spark, images):
     res.violations.persist()
     yield res
     res.violations.unpersist()
+    res.release()  # drop branch/meta/integrity caches too
 
 
 def _seqs(images, violations, constraint):

@@ -96,6 +96,9 @@ def test_decode_island_scans_bytes_once(spark):
     from pqc.engine import ValidationSuite
     from pqc.fixtures import cached_images_path, generate_image_dim
 
+    # leftover cached plans from other tests get substituted into this
+    # plan (their build trees show their own scans) — measure pristine
+    spark.catalog.clearCache()
     images = spark.read.parquet(cached_images_path(spark, 2000))
     ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
     plan = plan_of(ValidationSuite().violation_plan(ctx))
