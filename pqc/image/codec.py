@@ -1,18 +1,17 @@
 """Image codecs — pure numpy + stdlib, fully deterministic.
 
-The sandbox has no PIL/libjpeg, so the engine ships:
+The sandbox has no PIL/libjpeg, so the engine ships pure-numpy codecs:
 
 - a real PNG codec (lossless; spec-conformant enough to round-trip any
   8-bit RGB image and decode filter types 0-4) — the "png" format;
-- a deterministic lossy block-DCT codec ("lsy") standing in for JPEG:
-  8×8 DCT, JPEG-style quantization at a quality setting, zlib entropy
-  stage. At quality 95 it reconstructs the noisy fixture images at
-  ~42 dB PSNR — clearing the north-star integrity gate (PSNR ≥ 40 dB
-  for lossy formats).
-- real JPEG decode is gated behind an import-try of PIL and raises
-  NotImplementedError in this environment (clearly-marked stub; the
-  Spark-side plumbing — schema, batching, UDF signature — is identical
-  for all formats).
+- a deterministic lossy block-DCT codec ("lsy"): 8×8 DCT, JPEG-style
+  quantization at a quality setting, zlib entropy stage. At quality 95
+  it reconstructs the noisy fixture images at ~42 dB PSNR — clearing
+  the north-star integrity gate (PSNR ≥ 40 dB for lossy formats). This
+  is the fixture's fast lossy format (fully vectorized).
+- a real baseline JPEG codec (pqc/image/jpeg.py): ITU-T T.81 baseline
+  sequential, YCbCr 4:4:4, standard JFIF container with transmitted
+  DQT/DHT tables — replaced the round-1 NotImplementedError stub.
 
 Reference analogue: decode + crop I1 (`app.py:842`,
 `artwork_processing_common.py:234-238`); two-pass consistency gate I5
@@ -253,10 +252,9 @@ def encode(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     if fmt == "lsy":
         return lsy_encode(arr, quality)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "STUB: real JPEG needs PIL/libjpeg (absent in this environment); "
-            "the 'lsy' codec is the deterministic lossy stand-in"
-        )
+        from pqc.image.jpeg import jpeg_encode
+
+        return jpeg_encode(arr, quality)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -267,16 +265,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "lsy":
         return lsy_decode(data)
     if fmt == "jpeg":
-        try:  # pragma: no cover - PIL absent in sandbox
-            import io
+        from pqc.image.jpeg import jpeg_decode
 
-            from PIL import Image
-
-            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        except ImportError as exc:
-            raise NotImplementedError(
-                "STUB: JPEG decode requires PIL (absent); use fmt='lsy'"
-            ) from exc
+        return jpeg_decode(data)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -1,0 +1,432 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy + stdlib.
+
+Replaces the former NotImplementedError stub (the sandbox has no
+PIL/libjpeg): a from-spec implementation of baseline sequential DCT,
+YCbCr 4:4:4 (no chroma subsampling), one scan, standard JFIF container.
+Encoded files are structurally conformant (SOI/APP0/DQT/SOF0/DHT/SOS/
+EOI, byte-stuffed entropy data, tables transmitted in DQT/DHT) — any
+external decoder can read them; the decoder likewise reads the tables
+from the stream, so it also accepts foreign baseline 4:4:4 files.
+
+Not supported (raises with a clear message): progressive (SOF2),
+chroma subsampling, restart intervals, arithmetic coding, 12-bit.
+
+The Huffman entropy loops are per-symbol Python — fine for the test
+tier; the fixture's hot path stays on the vectorized LSY/PNG codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pqc.image.codec import _D8, _qtable
+
+# chrominance quantization base table (Annex K)
+_QCHROMA_BASE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _qtable_chroma(quality: int) -> np.ndarray:
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    return np.clip(np.floor((_QCHROMA_BASE * scale + 50) / 100), 1, 255)
+
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order, generated from its definition."""
+    idx = sorted(
+        ((i, j) for i in range(8) for j in range(8)),
+        key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
+    )
+    return np.array([i * 8 + j for i, j in idx], dtype=np.int64)
+
+
+_ZZ = _zigzag()
+_UNZZ = np.argsort(_ZZ)
+
+# standard Huffman tables (Annex K): (bits[1..16], huffval)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt == 0xD9:  # EOI while padding — treat as 1-fill
+                self.pos += 0
+                b = 0xFF
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                self.pos += 2
+                return
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude-bits) for a coefficient value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = arr[..., 0].astype(np.float64), arr[..., 1].astype(np.float64), arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    y, cb, cr = arr[..., 0], arr[..., 1] - 128.0, arr[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(chan: np.ndarray) -> np.ndarray:
+    """(n_blocks, 8, 8) row-major blocks of an edge-padded channel."""
+    h, w = chan.shape
+    return (
+        chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → baseline JFIF JPEG bytes."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    qt_l, qt_c = _qtable(quality), _qtable_chroma(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    ph, pw = -h % 8, -w % 8
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    # quantized zigzag coefficients per component
+    comps = []
+    for ci in range(3):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _blocks_of(ycc[..., ci] - 128.0)
+        coeffs = np.round((_D8 @ blocks @ _D8.T) / qt).astype(np.int32)
+        comps.append(coeffs.reshape(-1, 64)[:, _ZZ])
+
+    dc_tabs = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_tabs = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = comps[0].shape[0]
+    for bi in range(n_blocks):  # MCU = one block of each component (4:4:4)
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            dct, act = dc_tabs[tsel], ac_tabs[tsel]
+            zz = comps[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = dct[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = act[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = act[run * 16 + size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                code, length = act[0x00]  # EOB
+                bw.write(code, length)
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return _seg(0xFFDB, bytes([tid]) + qt.astype(np.uint8).reshape(64)[_ZZ].tobytes())
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return _seg(0xFFC4, bytes([tclass * 16 + tid]) + bytes(bits) + bytes(vals))
+
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(struct.pack(">BBB", cid + 1, 0x11, 0 if cid == 0 else 1) for cid in range(3)),
+    )
+    sos = _seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(3))
+        + bytes([0, 63, 0]),
+    )
+    app0 = _seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + sof
+        + dht(0, 0, _DC_LUMA)
+        + dht(1, 0, _AC_LUMA)
+        + dht(0, 1, _DC_CHROMA)
+        + dht(1, 1, _AC_CHROMA)
+        + sos
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _read_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline 4:4:4 JPEG into (h, w, 3) uint8 RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    comps: list[tuple[int, int, int]] = []  # (cid, qsel, sampling)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(payload):
+                pq, tid = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zzvals = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
+                qtabs[tid] = zzvals[_UNZZ].reshape(8, 8)
+                p += 65
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tclass, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                inv: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        inv[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tclass, tid)] = inv
+                p += 17 + nv
+        elif marker == 0xFFC0:
+            prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline supported")
+            for c in range(nc):
+                cid, samp, qsel = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, qsel, samp))
+            frame = (fh, fw)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            scan_sel = []  # (dc_tid, ac_tid, qsel)
+            for c in range(ns):
+                _cid, tsel = payload[1 + 2 * c : 3 + 2 * c]
+                scan_sel.append((tsel >> 4, tsel & 0xF, comps[c][1]))
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    else:
+        raise ValueError("no SOS found")
+    if frame is None:
+        raise ValueError("no SOF before SOS")
+
+    fh, fw = frame
+    bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
+    br = _BitReader(data, pos)
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(3)]
+    pred = [0, 0, 0]
+    for byi in range(bh):
+        for bxi in range(bw_):
+            for ci in range(3):
+                dc_tid, ac_tid, qsel = scan_sel[ci]
+                zz = np.zeros(64, dtype=np.float64)
+                size = _read_huffman(br, htabs[(0, dc_tid)])
+                diff = _extend(br.receive(size), size)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_huffman(br, htabs[(1, ac_tid)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflow")
+                    zz[k] = _extend(br.receive(size), size)
+                    k += 1
+                block = (zz[_UNZZ].reshape(8, 8)) * qtabs[qsel]
+                pix = _D8.T @ block @ _D8 + 128.0
+                planes[ci][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
+    ycc = np.stack(planes, axis=-1)[:fh, :fw]
+    return _ycbcr_to_rgb(ycc)
