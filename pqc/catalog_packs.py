@@ -354,8 +354,22 @@ def spelling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    best = eligible.crossJoin(d).withColumn(
-        "dist", F.levenshtein("tok", "word")
+    # length-band blocking: levenshtein == 1 implies |Δlen| <= 1, so
+    # exploding each dictionary word to its three admissible lengths
+    # turns the bounded nested loop into a broadcast equi-join — at
+    # corpus scale the candidate set is (tokens × words of ±1 length),
+    # not (tokens × dictionary). Output-equivalent: every dist-1 pair
+    # survives the block, and dist>=2 rows are filtered below anyway.
+    dk = d.select(
+        "word",
+        F.explode(
+            F.array(F.length("word") - 1, F.length("word"), F.length("word") + 1)
+        ).alias("lk"),
+    )
+    best = (
+        eligible.withColumn("lk", F.length("tok"))
+        .join(F.broadcast(dk), "lk")
+        .withColumn("dist", F.levenshtein("tok", "word"))
     )
     w = W.partitionBy("row_id").orderBy(F.col("dist").asc(), F.col("word").asc())
     return (

@@ -112,3 +112,27 @@ def test_uniqueness_constraint_equals_injected_duplicates(spark):
     # every flagged id is reported once per occurrence
     n_rows = uniqueness.violations(ctx).count()
     assert n_rows == sum(ids.count(i) for i in expected)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        min_size=0,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+@seed(42)
+def test_hash64_portable_python_vs_duckdb(s):
+    """The engine's cross-engine determinism rests on hash64: Spark
+    conv(substring(md5,1,15),16,10) == DuckDB ('0x'||…)::BIGINT. Check
+    the shared definition against DuckDB for arbitrary unicode."""
+    import hashlib
+
+    import duckdb
+
+    expected = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.connect().execute(
+        "SELECT (('0x' || substring(md5(?), 1, 15))::BIGINT)", [s]
+    ).fetchone()[0]
+    assert got == expected
