@@ -256,6 +256,13 @@ def cached_images_path(spark: SparkSession, n_rows: int, shift: int = 0) -> str:
     partitioned Parquet under /tmp; reused across queries/tests."""
     import os
 
+    # ship pqc to Python workers even when generation is skipped (a
+    # foreign driver session + warm cache would otherwise hit
+    # ModuleNotFoundError inside the decode island's mapInPandas)
+    from pqc.session import _ship_package
+
+    _ship_package(spark)
+
     key = (n_rows, shift)
     path = f"/tmp/pqc_fixtures/images_n{n_rows}_s{shift}"
     if key not in _FIXTURE_CACHE:

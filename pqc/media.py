@@ -142,6 +142,9 @@ def cached_media_table(spark: SparkSession) -> DataFrame:
     as the images fixture."""
     import os
 
+    from pqc.session import _ship_package
+
+    _ship_package(spark)  # decode island needs pqc on workers even warm-cached
     path = _media_parquet_path()
     if not os.path.exists(path + "/_SUCCESS"):
         media_table(spark).write.mode("overwrite").partitionBy("part").parquet(path)
