@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pqc.registry import register
 from pqc.rule_packs import spark_inline, values_cte
+from pqc.text import word_grams, word_grams_sql
 
 # ---------------------------------------------------------------------------
 # PMO Schedule-1 category (prompts.py:1410-1452)
@@ -325,15 +326,7 @@ def _norm_sql(col: str) -> str:
     return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 
 
-def _grams_sql(src: str) -> str:
-    """1-3-word grams per segment (partial_ratio stand-in)."""
-    return f"""
-  SELECT DISTINCT row_id, segment, array_to_string(t[i:i+n-1], ' ') AS gram
-  FROM (SELECT row_id, segment, string_split(segment, ' ') AS t FROM {src}),
-       UNNEST(generate_series(1, len(t))) AS gi(i),
-       UNNEST([1, 2, 3]) AS gn(n)
-  WHERE i + n - 1 <= len(t)
-"""
+
 
 
 def _novel_oracle(threshold: int) -> str:
@@ -353,7 +346,7 @@ exact AS (
   SELECT s.row_id, d.canonical, CAST(100.0 AS DOUBLE) AS score
   FROM segs s JOIN d ON instr(s.segment, d.variant) > 0
 ),
-grams AS ({_grams_sql('segs')}),
+grams AS ({word_grams_sql('segs', 'row_id, segment')}),
 fz AS (
   SELECT g.row_id, d.canonical,
          100 * (1 - CAST(levenshtein(g.gram, d.variant) AS DOUBLE)
@@ -399,23 +392,8 @@ def novel_food_screen(
     exact = segs.join(d, F.instr(F.col("segment"), F.col("variant")) > 0).select(
         "row_id", "canonical", F.lit(100.0).alias("score")
     )
-    toks = F.split(F.col("segment"), " ")
-
-    def _gram_array(n: int):
-        # transform lambda MUST take one parameter (index-binding trap)
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     grams = segs.select(
-        "row_id",
-        F.explode(
-            F.array_distinct(F.concat(*[_gram_array(n) for n in (1, 2, 3)]))
-        ).alias("gram"),
+        "row_id", F.explode(word_grams(F.col("segment"))).alias("gram")
     ).dropDuplicates(["row_id", "gram"])
     fz = (
         grams.join(
@@ -515,7 +493,7 @@ cues AS (
   FROM feat
 )
 SELECT row_id,
-       CASE WHEN ukpc OR {_any_instr_sql('t', UK_CUES)} THEN 'UK'
+       CASE WHEN ukpc OR ukm THEN 'UK'
             WHEN eum THEN 'EU' ELSE 'UNK' END AS country_hint,
        CASE WHEN address IS NULL OR address = '' THEN CAST(0.0 AS DOUBLE)
             ELSE CAST(

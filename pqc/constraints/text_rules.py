@@ -108,23 +108,10 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
     # segment — the deterministic twin of token_set_ratio's subset
     # matching (banningredients.py:207-268). JVM levenshtein only,
     # length-prefiltered to keep the candidate set tight.
-    toks = F.split(F.col("segment"), " ")
+    from pqc.text import word_grams
 
-    def _gram_array(n: int):
-        # NB: the transform lambda must take exactly one parameter —
-        # a second parameter would be bound to the element index.
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    gram_arrays = [_gram_array(n) for n in (1, 2, 3)]
     grams = uniq.select(
-        "segment",
-        F.explode(F.array_distinct(F.concat(*gram_arrays))).alias("gram"),
+        "segment", F.explode(word_grams(F.col("segment"))).alias("gram")
     )
     fuzzy = (
         grams.join(

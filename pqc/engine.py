@@ -190,15 +190,27 @@ def flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
     res = ValidationSuite().run(ctx)
     n_rows = images.count()
-    image_verdicts = (
+    # the per-constraint rollup is ~18 rows — materialize it NOW and
+    # release every suite cache (branches, meta, decode island) before
+    # returning, so entry() leaves nothing pinned for the dozens of
+    # queries the driver runs afterwards in the same session
+    rollup = (
         res.verdicts.groupBy("constraint")
         .agg(F.sum("n_violations").alias("n_violations"))
-        .select(
-            F.concat(F.lit("images/"), F.col("constraint")).alias("constraint"),
-            F.lit(n_rows).cast("bigint").alias("n_checked"),
-            F.col("n_violations").cast("bigint"),
-            (F.col("n_violations") == 0).alias("passed"),
-        )
+        .collect()
+    )
+    res.release()
+    image_verdicts = spark.createDataFrame(
+        [
+            (
+                f"images/{r['constraint']}",
+                int(n_rows),
+                int(r["n_violations"]),
+                r["n_violations"] == 0,
+            )
+            for r in rollup
+        ],
+        "constraint string, n_checked bigint, n_violations bigint, passed boolean",
     )
     return testdata_verdicts(spark, sf_dir).unionByName(image_verdicts)
 

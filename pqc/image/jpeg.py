@@ -383,10 +383,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             raise ValueError("restart intervals not supported")
         elif marker == 0xFFDA:
             ns = payload[0]
-            scan_sel = []  # (dc_tid, ac_tid, qsel)
+            if ns != 3:
+                raise ValueError("single interleaved 3-component scan required")
+            # bind scan components to FRAME components by id (T.81 allows
+            # the SOS order to differ from SOF; plane/table selection must
+            # follow the ids, not the position)
+            cid_to_frame = {cid: idx for idx, (cid, _q, _s) in enumerate(comps)}
+            scan_sel = []  # (frame_idx, dc_tid, ac_tid, qsel)
             for c in range(ns):
-                _cid, tsel = payload[1 + 2 * c : 3 + 2 * c]
-                scan_sel.append((tsel >> 4, tsel & 0xF, comps[c][1]))
+                cid, tsel = payload[1 + 2 * c : 3 + 2 * c]
+                if cid not in cid_to_frame:
+                    raise ValueError(f"SOS references unknown component id {cid}")
+                fidx = cid_to_frame[cid]
+                scan_sel.append((fidx, tsel >> 4, tsel & 0xF, comps[fidx][1]))
             pos = pos + 2 + ln
             break
         pos += 2 + ln
@@ -402,8 +411,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     pred = [0, 0, 0]
     for byi in range(bh):
         for bxi in range(bw_):
-            for ci in range(3):
-                dc_tid, ac_tid, qsel = scan_sel[ci]
+            for fidx, dc_tid, ac_tid, qsel in scan_sel:
+                ci = fidx
                 zz = np.zeros(64, dtype=np.float64)
                 size = _read_huffman(br, htabs[(0, dc_tid)])
                 diff = _extend(br.receive(size), size)

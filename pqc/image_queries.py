@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pqc.registry import defer_release, register
+from pqc.text import word_grams_sql
 from pqc.skew import DEFAULT_BAND_CAP as _BAND_CAP
 
 FIXTURE_ROWS = 2000
@@ -350,14 +351,7 @@ exact AS (
          'exact' AS match_kind, CAST(100.0 AS DOUBLE) AS score
   FROM uniq u JOIN dim d ON regexp_matches(' ' || u.segment || ' ', d.pattern)
 ),
-toks AS (SELECT segment, string_split(segment, ' ') AS t FROM uniq),
-grams AS (
-  SELECT DISTINCT segment, array_to_string(t[i:i+n-1], ' ') AS gram
-  FROM toks,
-       UNNEST(generate_series(1, len(t))) AS gi(i),
-       UNNEST([1, 2, 3]) AS gn(n)
-  WHERE i + n - 1 <= len(t)
-),
+grams AS ({word_grams_sql('uniq', 'segment')}),
 fz AS (
   SELECT g.segment, d.canonical, d.syn_type,
          1 - CAST(levenshtein(g.gram, d.variant) AS DOUBLE)

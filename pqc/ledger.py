@@ -49,12 +49,14 @@ def partition_fingerprints(images: DataFrame) -> DataFrame:
     proxies — hashing the payload would force a second full binary
     scan, which the single-bytes-scan invariant forbids.
     """
+    # every field coalesced: concat_ws SKIPS nulls, so an un-coalesced
+    # null would make e.g. (w=NULL,h=300) and (w=300,h=NULL) collide
     row_fp = F.crc32(
         F.concat_ws(
             "|",
             F.col("image_id"),
-            F.col("w").cast("string"),
-            F.col("h").cast("string"),
+            F.coalesce(F.col("w").cast("string"), F.lit("∅")),
+            F.coalesce(F.col("h").cast("string"), F.lit("∅")),
             F.coalesce(F.col("fmt"), F.lit("∅")),
             F.coalesce(F.col("caption"), F.lit("∅")),
             F.coalesce(F.col("phash").cast("string"), F.lit("∅")),

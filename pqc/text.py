@@ -39,6 +39,40 @@ def tokens(col: Column) -> Column:
 
 TOKENS_SQL = f"string_split({NORM_SQL}, ' ')"
 
+
+def word_grams(segment_col: Column, n_max: int = 3) -> Column:
+    """Distinct 1..n_max-word grams of a space-tokenized string column —
+    the shared partial_ratio stand-in used by the caption screen, the
+    novel-food screen, and their oracles (word_grams_sql below).
+
+    NB: each transform lambda must take exactly ONE parameter — a second
+    parameter would silently bind to the element index."""
+    toks = F.split(segment_col, " ")
+
+    def _one(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(F.concat(*[_one(n) for n in range(1, n_max + 1)]))
+
+
+def word_grams_sql(src: str, key_cols: str, seg_col: str = "segment", n_max: int = 3) -> str:
+    """DuckDB twin of :func:`word_grams`: a SELECT producing
+    (key_cols..., gram) rows of distinct 1..n_max-word grams."""
+    ns = ", ".join(str(n) for n in range(1, n_max + 1))
+    return f"""
+  SELECT DISTINCT {key_cols}, array_to_string(t[i:i+n-1], ' ') AS gram
+  FROM (SELECT {key_cols}, string_split({seg_col}, ' ') AS t FROM {src}),
+       UNNEST(generate_series(1, len(t))) AS gi(i),
+       UNNEST([{ns}]) AS gn(n)
+  WHERE i + n - 1 <= len(t)
+"""
+
 _NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
 
 # ---------------------------------------------------------------------------
