@@ -136,3 +136,31 @@ def test_hash64_portable_python_vs_duckdb(s):
         "SELECT (('0x' || substring(md5(?), 1, 15))::BIGINT)", [s]
     ).fetchone()[0]
     assert got == expected
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=40),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@seed(7)
+def test_ks_statistic_matches_numpy_reference(spark, a, b):
+    """Differential property (SURVEY §5): the relational KS statistic
+    equals the classical ECDF formulation for arbitrary samples, and a
+    location-shifted copy never decreases it."""
+    import numpy as np
+
+    from pqc.constraints.drift import ks_statistic
+
+    cur = spark.createDataFrame([(float(x),) for x in a], "v double")
+    base = spark.createDataFrame([(float(x),) for x in b], "v double")
+    got = ks_statistic(cur, base, "v").first()["ks_stat"]
+
+    xs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    cb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    expected = float(np.max(np.abs(ca - cb)))
+    assert abs(got - expected) < 1e-12
+
+    shifted = spark.createDataFrame([(float(x) + 40.0,) for x in a], "v double")
+    assert ks_statistic(cur, shifted, "v").first()["ks_stat"] >= got - 1e-12
