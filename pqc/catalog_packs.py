@@ -327,7 +327,7 @@ best AS (
   SELECT e.row_id, e.tok, d.word, levenshtein(e.tok, d.word) AS dist,
          ROW_NUMBER() OVER (
            PARTITION BY e.row_id
-           ORDER BY levenshtein(e.tok, d.word) ASC, d.word ASC
+           ORDER BY levenshtein(e.tok, d.word) ASC, d.word ASC, e.tok ASC
          ) AS rk
   FROM eligible e CROSS JOIN d
 )
@@ -371,7 +371,11 @@ def spelling_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dk), "lk")
         .withColumn("dist", F.levenshtein("tok", "word"))
     )
-    w = W.partitionBy("row_id").orderBy(F.col("dist").asc(), F.col("word").asc())
+    # tok is the final tie-break: two row tokens at equal distance from
+    # the same word would otherwise pick nondeterministically per engine
+    w = W.partitionBy("row_id").orderBy(
+        F.col("dist").asc(), F.col("word").asc(), F.col("tok").asc()
+    )
     return (
         best.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") == 1) & (F.col("dist") == 1))

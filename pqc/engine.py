@@ -33,11 +33,11 @@ class SuiteResult:
     _ctx: SuiteContext | None = None
 
     def release(self) -> None:
-        """Unpersist the violations cache and the SuiteContext caches
-        (meta projection + decode-island output). Idempotent; call
-        after the run's outputs are materialized so repeated suite runs
-        in one session don't accumulate cached executor blocks."""
-        self.violations.unpersist()
+        """Release the SuiteContext caches (per-branch violation plans
+        tracked via ctx.track_persist, meta projection, decode-island
+        output). Idempotent; call after the run's outputs are
+        materialized so repeated suite runs in one session don't
+        accumulate cached executor blocks."""
         if self._ctx is not None:
             self._ctx.release()
 

@@ -59,6 +59,65 @@ def minhash_perm_sql(expr: str, a: int, b: int) -> str:
     return f"xor({salt}::BIGINT, {expr})"
 
 
+# ---- exact cross-engine quantiles ------------------------------------------
+
+QUANTILE_DENOM = 20  # q grid: multiples of 0.05 (covers .25/.5/.75/.95)
+
+
+def sorted_vals(col: Column) -> Column:
+    """Aggregate: sorted array of a column's non-null values — the
+    carrier for :func:`quantile_exact`. ``collect_list`` drops nulls,
+    matching ``quantile_cont``'s null handling. Exact sort-per-group is
+    the small-group path; at 10^12 rows the same profile runs on
+    ``percentile_approx`` t-digests (pqc/stats.py) whose error these
+    exact values bound in tests."""
+    return F.sort_array(F.collect_list(col))
+
+
+def quantile_exact(arr: Column, q: float) -> Column:
+    """Exact linear-interpolated quantile of a sorted INTEGER array.
+
+    ``F.percentile`` (Spark) vs ``quantile_cont`` (DuckDB) interpolate
+    in floating point with engine-specific rounding — last-ulp drift
+    that breaks hash parity (the r2 ``images_partition_stats`` FAIL).
+    Here q sits on the 1/20 grid, so with k = (n-1)*q, j = 20*frac(k)
+    an integer, the interpolated value is (lo*(20-j) + hi*j) / 20:
+    pure integer arithmetic up to one final IEEE division by 20, which
+    is correctly rounded and therefore bit-identical in both engines.
+    """
+    num = round(q * QUANTILE_DENOM)
+    assert abs(num - q * QUANTILE_DENOM) < 1e-9, f"q={q} not on 1/20 grid"
+    n = F.size(arr)
+    k20 = (n - F.lit(1)) * F.lit(num)
+    j = k20 % QUANTILE_DENOM
+    idx0 = ((k20 - j) / QUANTILE_DENOM).cast("int")  # exact: 20 | (k20-j)
+    lo = F.get(arr, idx0)
+    hi = F.coalesce(F.get(arr, idx0 + F.lit(1)), lo)  # j=0 ⇒ hi unused
+    numr = lo.cast("bigint") * (F.lit(QUANTILE_DENOM) - j) + hi.cast("bigint") * j
+    return (numr.cast("double") / F.lit(QUANTILE_DENOM)).cast("double")
+
+
+def sorted_vals_sql(expr: str) -> str:
+    """DuckDB aggregate twin of :func:`sorted_vals`."""
+    return f"list_sort(list({expr}) FILTER (WHERE ({expr}) IS NOT NULL))"
+
+
+def quantile_exact_sql(arr: str, q: float) -> str:
+    """DuckDB SQL twin of :func:`quantile_exact` over a sorted-list
+    expression (1-based indexing; out-of-range subscript → NULL)."""
+    num = round(q * QUANTILE_DENOM)
+    assert abs(num - q * QUANTILE_DENOM) < 1e-9, f"q={q} not on 1/20 grid"
+    k20 = f"((len({arr}) - 1) * {num})"
+    j = f"({k20} % {QUANTILE_DENOM})"
+    i1 = f"({k20} // {QUANTILE_DENOM} + 1)"  # 1-based lo index
+    lo = f"({arr})[{i1}]"
+    hi = f"COALESCE(({arr})[{i1} + 1], {lo})"
+    return (
+        f"CAST(CAST(({lo}) * ({QUANTILE_DENOM} - {j}) + ({hi}) * {j} "
+        f"AS DOUBLE) / {QUANTILE_DENOM} AS DOUBLE)"
+    )
+
+
 # ---- order-independent float aggregation ----------------------------------
 
 DEC = "decimal(28,6)"

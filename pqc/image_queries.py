@@ -94,21 +94,37 @@ def images_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.orderBy("constraint", "image_id")
 
 
+from pqc.exprs import (  # noqa: E402  (helpers used by oracle strings below)
+    quantile_exact,
+    quantile_exact_sql,
+    sorted_vals,
+    sorted_vals_sql,
+)
+
 _PSTATS_ORACLE = f"""
-SELECT part,
-       COUNT(*) AS n_rows,
-       COUNT(DISTINCT image_id) AS n_distinct_image_id,
-       SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null_w,
-       MIN(w) AS min_w, MAX(w) AS max_w,
-       ROUND(quantile_cont(w, 0.50), 4) AS p50_w,
-       ROUND(quantile_cont(w, 0.95), 4) AS p95_w,
-       SUM(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS n_null_h,
-       MIN(h) AS min_h, MAX(h) AS max_h,
-       ROUND(quantile_cont(h, 0.50), 4) AS p50_h,
-       ROUND(quantile_cont(h, 0.95), 4) AS p95_h,
-       SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS n_null_caption
-FROM {_meta_glob()}
-GROUP BY part
+WITH g AS (
+  SELECT part,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT image_id) AS n_distinct_image_id,
+         SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null_w,
+         MIN(w) AS min_w, MAX(w) AS max_w,
+         {sorted_vals_sql('w')} AS aw,
+         SUM(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS n_null_h,
+         MIN(h) AS min_h, MAX(h) AS max_h,
+         {sorted_vals_sql('h')} AS ah,
+         SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS n_null_caption
+  FROM {_meta_glob()}
+  GROUP BY part
+)
+SELECT part, n_rows, n_distinct_image_id,
+       n_null_w, min_w, max_w,
+       {quantile_exact_sql('aw', 0.50)} AS p50_w,
+       {quantile_exact_sql('aw', 0.95)} AS p95_w,
+       n_null_h, min_h, max_h,
+       {quantile_exact_sql('ah', 0.50)} AS p50_h,
+       {quantile_exact_sql('ah', 0.95)} AS p95_h,
+       n_null_caption
+FROM g
 """
 
 
@@ -119,10 +135,10 @@ def images_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch profile (pqc/stats.py: HLL approx-distinct + percentile_approx
     t-digests, which are engine-specific and therefore rows-only;
     tests/test_scale_mechanics.py bounds the sketches against these
-    exact values)."""
+    exact values). Quantiles use pqc/exprs.py quantile_exact — integer
+    lo/hi interpolation on the 1/20 grid — because F.percentile vs
+    quantile_cont float interpolation drifts in the last ulps."""
     imgs = _images(spark)
-    qw = F.percentile(F.col("w"), F.array(F.lit(0.5), F.lit(0.95)))
-    qh = F.percentile(F.col("h"), F.array(F.lit(0.5), F.lit(0.95)))
     return (
         imgs.groupBy("part")
         .agg(
@@ -131,11 +147,11 @@ def images_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).alias("n_null_w"),
             F.min("w").alias("min_w"),
             F.max("w").alias("max_w"),
-            qw.alias("qw"),
+            sorted_vals(F.col("w")).alias("aw"),
             F.sum(F.when(F.col("h").isNull(), 1).otherwise(0)).alias("n_null_h"),
             F.min("h").alias("min_h"),
             F.max("h").alias("max_h"),
-            qh.alias("qh"),
+            sorted_vals(F.col("h")).alias("ah"),
             F.sum(F.when(F.col("caption").isNull(), 1).otherwise(0)).alias(
                 "n_null_caption"
             ),
@@ -147,16 +163,25 @@ def images_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_null_w",
             "min_w",
             "max_w",
-            F.round(F.col("qw")[0], 4).alias("p50_w"),
-            F.round(F.col("qw")[1], 4).alias("p95_w"),
+            quantile_exact(F.col("aw"), 0.50).alias("p50_w"),
+            quantile_exact(F.col("aw"), 0.95).alias("p95_w"),
             "n_null_h",
             "min_h",
             "max_h",
-            F.round(F.col("qh")[0], 4).alias("p50_h"),
-            F.round(F.col("qh")[1], 4).alias("p95_h"),
+            quantile_exact(F.col("ah"), 0.50).alias("p50_h"),
+            quantile_exact(F.col("ah"), 0.95).alias("p95_h"),
             "n_null_caption",
         )
         .orderBy("part")
+    )
+
+
+def _band_pair_values() -> str:
+    from itertools import combinations
+
+    return ", ".join(
+        f"({pid}, {i}, {j})"
+        for pid, (i, j) in enumerate(combinations(range(8), 2))
     )
 
 
@@ -165,15 +190,38 @@ def images_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no hot bucket diverted the banded result EQUALS the quadratic truth —
 # which is what the oracle computes directly (2000² is nothing for
 # DuckDB). A genuinely independent check: different algorithm, same set.
+# The EXISTS clause mirrors the production skew cap (pqc/skew.py): a
+# pair counts only if some shared band-pair bucket is NON-hot — on the
+# healthy fixture every bucket is cold and the clause is a no-op, but
+# under fixture drift (phash-degenerate slices) the oracle now diverts
+# exactly the pairs the engine diverts instead of silently diverging.
 _ND_ORACLE = f"""
-WITH m AS (
+WITH bp AS (SELECT * FROM (VALUES {_band_pair_values()}) AS bp(band_idx, bi, bj)),
+m AS (
   SELECT seq, image_id, part, phash FROM {_meta_glob()} WHERE phash IS NOT NULL
+),
+bands AS (
+  SELECT m.seq, bp.band_idx,
+         CAST(((phash >> (bi * 8)) & 255) * 256 + ((phash >> (bj * 8)) & 255)
+              AS BIGINT) AS band_val
+  FROM m, bp
+),
+sizes AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+cold AS (
+  SELECT b.seq, b.band_idx, b.band_val
+  FROM bands b JOIN sizes s USING (band_idx, band_val)
+  WHERE s.n <= {_BAND_CAP}
 )
 SELECT a.seq AS seq_a, b.seq AS seq_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming,
        a.image_id AS image_id_a, b.image_id AS image_id_b, b.part AS part_b
 FROM m a JOIN m b ON a.seq < b.seq
 WHERE bit_count(xor(a.phash, b.phash)) <= 6
+  AND EXISTS (
+    SELECT 1 FROM cold ca
+    JOIN cold cb ON ca.band_idx = cb.band_idx AND ca.band_val = cb.band_val
+    WHERE ca.seq = a.seq AND cb.seq = b.seq
+  )
 """
 
 
@@ -184,15 +232,6 @@ def images_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pqc.constraints.near_dup import candidate_pairs
 
     return candidate_pairs(_images(spark)).orderBy("seq_a", "seq_b")
-
-
-def _band_pair_values() -> str:
-    from itertools import combinations
-
-    return ", ".join(
-        f"({pid}, {i}, {j})"
-        for pid, (i, j) in enumerate(combinations(range(8), 2))
-    )
 
 
 _HOT_BUCKETS_ORACLE = f"""

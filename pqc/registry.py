@@ -32,13 +32,24 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 # next registered query starts (by then the previous result has been
 # collected), so at most one query's worth of small intermediates is
 # ever cached. unpersist() is lazy-safe: a released pin just recomputes.
+#
+# Lifecycle assumption: the driver runs registered queries SERIALLY,
+# fully materializing each result before invoking the next (this is the
+# driver contract's shape, and bench.py's). The lock below only makes
+# the list operations safe if a harness ever interleaves query STARTS;
+# a pin released while a concurrent query still holds its plan is
+# correct-but-recomputing, never wrong.
+import threading as _threading
+
 _PINNED: list = []
+_PIN_LOCK = _threading.Lock()
 
 
 def pin(df):
     """persist() an intermediate for reuse inside the current query."""
     df.persist()
-    _PINNED.append(df)
+    with _PIN_LOCK:
+        _PINNED.append(df)
     return df
 
 
@@ -47,12 +58,16 @@ def defer_release(release_fn) -> None:
     when the next registered query starts — queries that build a full
     SuiteContext must not leak its caches into later queries' plans
     (Spark's CacheManager substitutes any cached plan fragment)."""
-    _PINNED.append(release_fn)
+    with _PIN_LOCK:
+        _PINNED.append(release_fn)
 
 
 def release_pins() -> None:
-    while _PINNED:
-        item = _PINNED.pop()
+    while True:
+        with _PIN_LOCK:
+            if not _PINNED:
+                return
+            item = _PINNED.pop()
         if callable(item):
             item()
         else:
@@ -73,14 +88,91 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's CORRECTNESS artifact checks the FIRST 50 entries of
+# queries() (dict insertion order). With >50 registered queries the
+# window must be allocated deliberately: queries with no driver row yet
+# first, then this round's new operators, then last round's red/weak
+# rows, then a rotation of previously-green ones. Names missing from
+# this list sort after it in registration order — so every query still
+# appears, just later. r2-green queries displaced past slot 50 keep
+# their r2 artifact as evidence.
+DRIVER_PRIORITY: list[str] = [
+    # -- never driver-checked before r3: stats / ANN / media family
+    "column_stats_profile",
+    "quantile_profile",
+    "range_check_violations",
+    "knn_brute_force_cosine",
+    "ivf_ann_topk",
+    "ivf_multiprobe_topk",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_bucketed",
+    "embedding_norm_stats",
+    "media_frame_sample_plan",
+    "media_decode_features",
+    # -- new in r3
+    "gluten_free_check",
+    "food_supplement_check",
+    "prohibited_marketplace_screen",
+    "product_name_variant",
+    "audit_nutritionals_scan",
+    "gelatin_source_classify",
+    "nutrient_per100g_extract",
+    "streaming_windowed_rollup",
+    # -- r2 red row (quantile parity fixed in r3) + the images family
+    "images_partition_stats",
+    "images_suite_verdicts",
+    "images_violation_rows",
+    "images_near_dup_pairs",
+    "images_near_dup_hot_buckets",
+    "images_integrity_summary",
+    "images_drift_check",
+    "images_banned_caption_screen",
+    # -- r1-green, displaced from the r2 window
+    "q1_pricing_summary",
+    "market_segment_rollup",
+    "topk_orders_per_customer",
+    "top_brands_by_revenue",
+    "uniqueness_violations",
+    "referential_orphans",
+    # -- rotation of r2-green heavy operators (dedup / events / text)
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "hourly_event_rollup",
+    "sessionization",
+    "asof_join_last_click",
+    "event_value_pivot",
+    "event_cube_rollup",
+    "ks_drift_statistic",
+    "token_count_stats",
+    "lang_id_confusion",
+    "quality_score",
+    "doc_fingerprint",
+    "competitor_topk_match",
+]
+
+
+def _ordered_names() -> list[str]:
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
+    pri = {n: i for i, n in enumerate(DRIVER_PRIORITY)}
+    sentinel = len(DRIVER_PRIORITY)
+    return sorted(REGISTRY, key=lambda n: (pri.get(n, sentinel), reg_idx[n]))
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return {name: rq.fn for name, rq in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 _LOADED = False

@@ -12,7 +12,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from pqc.exprs import davg, davg_sql, dsum, dsum_sql
+from pqc.exprs import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    quantile_exact,
+    quantile_exact_sql,
+    sorted_vals,
+    sorted_vals_sql,
+)
 from pqc.io import load_table
 from pqc.registry import register
 
@@ -288,14 +297,17 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANT_ORACLE = """
+_QUANT_ORACLE = f"""
+WITH g AS (
+  SELECT lang, {sorted_vals_sql('n_chars')} AS av
+  FROM documents GROUP BY lang
+)
 SELECT lang,
-       ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
-       ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
-       ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
-       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
-FROM documents
-GROUP BY lang
+       {quantile_exact_sql('av', 0.25)} AS p25,
+       {quantile_exact_sql('av', 0.50)} AS p50,
+       {quantile_exact_sql('av', 0.75)} AS p75,
+       {quantile_exact_sql('av', 0.95)} AS p95
+FROM g
 """
 
 
@@ -303,14 +315,14 @@ GROUP BY lang
 def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (the oracle-able twin of
     the `percentile_approx` t-digest path used at 10^12 scale — see
-    pqc/stats.py for the sketch version)."""
+    pqc/stats.py for the sketch version). Integer-exact interpolation
+    via pqc/exprs.py quantile_exact so both engines agree bitwise."""
     docs = load_table(spark, sf_dir, "documents")
-    pct = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
-    agg = docs.groupBy("lang").agg(pct.alias("q"))
+    agg = docs.groupBy("lang").agg(sorted_vals(F.col("n_chars")).alias("av"))
     return agg.select(
         "lang",
-        F.round(F.col("q")[0], 4).alias("p25"),
-        F.round(F.col("q")[1], 4).alias("p50"),
-        F.round(F.col("q")[2], 4).alias("p75"),
-        F.round(F.col("q")[3], 4).alias("p95"),
+        quantile_exact(F.col("av"), 0.25).alias("p25"),
+        quantile_exact(F.col("av"), 0.50).alias("p50"),
+        quantile_exact(F.col("av"), 0.75).alias("p75"),
+        quantile_exact(F.col("av"), 0.95).alias("p95"),
     )
