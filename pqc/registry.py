@@ -184,6 +184,7 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from pqc import (  # noqa: F401
+        audit_packs,
         catalog_packs,
         compliance_packs,
         dedup,
@@ -196,5 +197,6 @@ def _load_modules() -> None:
         similarity,
         text,
     )
+    from pqc.streaming import windowed  # noqa: F401
 
     _LOADED = True

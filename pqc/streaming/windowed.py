@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pqc.exprs import dsum, dsum_sql
+from pqc.registry import register
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -50,10 +53,14 @@ def windowed_event_counts(
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )
+    # dsum (decimal-exact) rather than SUM(double): micro-batch arrival
+    # order must not change the total — fp addition isn't associative,
+    # so a double sum would make the stream's answer depend on trigger
+    # boundaries (and break oracle parity for the registered twin below)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -61,6 +68,49 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+_WINDOWED_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_windowed_rollup", oracle=_WINDOWED_ORACLE)
+def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the Structured Streaming path: the watermarked
+    tumbling-window rollup run to completion over the events table via
+    the memory sink in COMPLETE output mode — every window (including
+    the open tail the append-mode watermark would hold back) is
+    emitted, so the result equals the batch hourly rollup and is fully
+    DuckDB-oracle-checkable. Epoch-aligned 1-hour windows ≡
+    date_trunc('hour'); totals are decimal-exact so micro-batch
+    boundaries can't perturb the hash."""
+    # the file stream source requires a DIRECTORY; the testdata ships
+    # each table as one parquet file, so stage it (hard-link, falling
+    # back to copy) into a cached per-sf dir — production sources are
+    # already directories/tables
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/pqc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}"
+    staged = f"{stage}/events.parquet"
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.link(src, staged)
+        except OSError:
+            shutil.copyfile(src, staged)
+    stream_df = windowed_event_counts(spark, stage)
+    out = run_to_completion(stream_df, "pqc_stream_windowed", mode="complete")
+    # copy out of the memory-sink table: a later query reusing the
+    # queryName would otherwise swap results under the returned plan
+    return out.localCheckpoint(eager=True)
 
 
 def streaming_validation(spark: SparkSession, images_dir: str) -> DataFrame:
