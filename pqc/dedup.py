@@ -26,13 +26,19 @@ _NONEMPTY = "text IS NOT NULL AND length(trim(text)) > 0"
 
 SHINGLE_K = 4  # words per shingle
 JACCARD_THRESHOLD = 0.2
-MINHASH_K = 8  # permutations
-# 8 bands × 1 row: at the LOW verify threshold (j ≥ 0.2) the 1-row
-# banding is the right (b, r): P(candidate) = 1-(1-j)^8 ≈ 0.83 at
-# j=0.2 (vs ≈0.15 for 4×2), at the cost of more false candidates —
-# which the exact-Jaccard confirm prunes. (b, r) is the recall dial:
-# raise r as the threshold rises.
-MINHASH_BANDS = 8  # bands of 1 row each
+# MinHash signature width and banding. The (b, r) dial: a pair becomes
+# a candidate with P = 1-(1-j^r)^b, and the S-curve's midpoint sits at
+# t ≈ (1/b)^(1/r) — pick t at the verify threshold. Here K = 64 perms
+# as 32 bands × 2 rows → t = (1/32)^(1/2) ≈ 0.18, matched to the 0.2
+# confirm threshold: recall 0.73 @ j=0.2, 0.95 @ j=0.3, ~1.0 @ j≥0.5,
+# while sub-threshold noise pairs (j=0.05) collide with P ≈ 0.08
+# (vs 0.34 for the r1-r2 8×1 banding — r=2 is what buys precision).
+# Production scaling: K≈128 with r chosen by the same formula; the
+# sandbox K=64 exercises the identical plan shape. Measured recall /
+# candidate-count table: BASELINE.md §minhash.
+MINHASH_K = 64  # permutations
+MINHASH_ROWS = 2  # rows per band
+MINHASH_BANDS = MINHASH_K // MINHASH_ROWS  # 32 bands
 # hot-shingle document-frequency cap: shingles in > MAX_SHINGLE_DF docs
 # (boilerplate) are excluded from CANDIDATE GENERATION — a stopword-
 # heavy shingle otherwise makes its inverted-index bucket quadratic.
@@ -89,10 +95,14 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_sql(k: int = SHINGLE_K) -> str:
-    """DuckDB: distinct word-k-gram shingles per doc."""
+    """DuckDB: distinct word-k-gram shingles per doc, pre-hashed to the
+    portable 60-bit integer — the join key everywhere downstream (an
+    8-byte shuffle payload instead of a ~25-byte string; the string
+    itself never leaves this CTE)."""
     toks = TOKENS_SQL.format(c="text")
     return f"""
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS s
+  SELECT DISTINCT doc_id,
+         {hash64_sql_duckdb(f"array_to_string(t[i:i+{k - 1}], ' ')")} AS hs
   FROM (SELECT doc_id, {toks} AS t FROM documents WHERE {_NONEMPTY}),
        UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
   WHERE len(t) >= {k}
@@ -101,18 +111,18 @@ def _shingles_sql(k: int = SHINGLE_K) -> str:
 
 _JACCARD_ORACLE = f"""
 WITH sh AS ({_shingles_sql()}),
-dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE dfc.df <= {MAX_SHINGLE_DF}),
+dfc AS (SELECT hs, COUNT(*) AS df FROM sh GROUP BY hs),
+cold AS (SELECT sh.doc_id, sh.hs FROM sh JOIN dfc USING (hs) WHERE dfc.df <= {MAX_SHINGLE_DF}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.hs = b.hs AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  JOIN sh b ON b.doc_id = c.doc_b AND a.hs = b.hs
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -125,7 +135,12 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESH
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, s): distinct word-k-gram shingles, all JVM array ops."""
+    """(doc_id, hs): distinct word-k-gram shingles per doc, hashed ONCE
+    to the portable 60-bit integer at creation — every downstream join
+    (df cap, candidate self-join, both intersection sides) keys on the
+    8-byte hash instead of the ~25-byte shingle string, so the three
+    shuffles of the Jaccard plan carry a third of the bytes. All JVM
+    array ops; the string exists only inside this projection."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
@@ -137,6 +152,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
     return (
         docs.filter(F.size(t) >= k)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+        .select("doc_id", hash64(F.col("s")).alias("hs"))
     )
 
 
@@ -146,9 +162,9 @@ def capped_shingles(sh: DataFrame, cap: int = MAX_SHINGLE_DF) -> DataFrame:
     boilerplate shingle in d docs contributes d²/2 candidate pairs).
     The df count is a map-side-combined aggregate; the hot list is tiny
     by construction, so the diversion is a broadcast anti-join."""
-    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dfc = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
     hot = dfc.filter(F.col("df") > cap)
-    return sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    return sh.join(F.broadcast(hot.select("hs")), "hs", "left_anti")
 
 
 @register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
@@ -169,13 +185,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cold.alias("a")
     b = cold.alias("b")
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
@@ -210,17 +226,24 @@ def _minhash_exprs_spark(h_col):
 _MH_COLS_SQL = ", ".join(
     f"MIN({minhash_perm_sql('hs', i + 1, 17 * i + 3)}) AS mh{i}" for i in range(MINHASH_K)
 )
+
+
+def _band_members(b: int) -> list[int]:
+    """Signature positions folded into band *b* (r consecutive rows)."""
+    return list(range(b * MINHASH_ROWS, (b + 1) * MINHASH_ROWS))
+
+
 def _band_key_sql(b: int) -> str:
-    inner = f"concat('b{b}:', mh{b})"
-    return f"{hash64_sql_duckdb(inner)} AS band{b}"
+    parts = ", ',', ".join(f"mh{i}" for i in _band_members(b))
+    expr = f"concat('b{b}:', {parts})"
+    return f"{hash64_sql_duckdb(expr)} AS band{b}"
 
 
 _BAND_KEYS_SQL = ", ".join(_band_key_sql(b) for b in range(MINHASH_BANDS))
 
 _MINHASH_ORACLE = f"""
 WITH sh AS ({_shingles_sql()}),
-hs AS (SELECT doc_id, {hash64_sql_duckdb('s')} AS hs FROM sh),
-sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM hs GROUP BY doc_id),
+sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
 bk AS (
   SELECT doc_id, band FROM bands
@@ -235,7 +258,7 @@ inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  JOIN sh b ON b.doc_id = c.doc_b AND a.hs = b.hs
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -249,25 +272,30 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESH
 
 @register("minhash_lsh_dedup", oracle=_MINHASH_ORACLE)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH(8 bands × 1 row) near-dup candidates, verified
-    with exact Jaccard ≥ 0.2.
+    """MinHash(64) + LSH(32 bands × 2 rows) near-dup candidates,
+    verified with exact Jaccard ≥ 0.2.
 
-    The scale path: signatures are 8 bigints/doc; band keys bound the
-    self-join (docs collide only if a band agrees), so candidate count
-    tracks true-duplicate density instead of corpus². Permutations are
-    XOR-salted portable hashes (pqc/exprs.py) so DuckDB reproduces the
-    exact signature. Verification re-joins shingles only for candidate
-    pairs — the screen→confirm shape of `banningredients.py:185-268`.
+    The scale path: signatures are 64 bigints/doc; band keys bound the
+    self-join (docs collide only if BOTH rows of a band agree), so
+    candidate count tracks true-duplicate density instead of corpus² —
+    see the (b, r) S-curve analysis at the constants above.
+    Permutations are XOR-salted portable hashes (pqc/exprs.py) so
+    DuckDB reproduces the exact signature. Verification re-joins
+    shingles only for candidate pairs — the screen→confirm shape of
+    `banningredients.py:185-268`.
     """
     sh = pin(_shingle_df(spark, sf_dir))  # reused: signatures, sizes, both verify sides
-    hs = sh.select("doc_id", hash64(F.col("s")).alias("hs"))
-    sig = hs.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
-    band_cols = [
-        hash64(
-            F.concat(F.lit(f"b{b}:"), F.col(f"mh{b}").cast("string"))
-        ).alias(f"band{b}")
-        for b in range(MINHASH_BANDS)
-    ]
+    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
+
+    def _band_col(b: int):
+        parts: list = [F.lit(f"b{b}:")]
+        for i in _band_members(b):
+            if i != _band_members(b)[0]:
+                parts.append(F.lit(","))
+            parts.append(F.col(f"mh{i}").cast("string"))
+        return hash64(F.concat(*parts)).alias(f"band{b}")
+
+    band_cols = [_band_col(b) for b in range(MINHASH_BANDS)]
     bands = sig.select("doc_id", *band_cols)
     bk = pin(bands.select(
         "doc_id",
@@ -283,8 +311,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")

@@ -139,7 +139,11 @@ def _part_for(image_id: str) -> int:
 def row_for(i: int, shift: int = 0) -> dict:
     """Generate one fixture row — a pure function of the index."""
     image_id = f"img_{(i - 7) if (i % 1000 == 7 and i >= 7) else i:012d}"
-    fmt = "lsy" if (i % 100) < 85 else "png"
+    # 80/15/5 lsy/png/jpeg: the deliberate format skew (salting tests)
+    # plus a real-JPEG slice so the T.81 codec runs through the decode
+    # island's two-pass / regen-PSNR / phash gates end-to-end
+    r = i % 100
+    fmt = "lsy" if r < 80 else ("png" if r < 95 else "jpeg")
     if i % 200 == 31 and i >= 1:  # near-duplicate of row i-1
         base = pixels_for(i - 1, shift)
         rng = _rng(i, salt=4)

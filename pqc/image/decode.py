@@ -106,7 +106,7 @@ def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
             # bit-identical to encode→decode, minus the lossless
             # entropy stage (asserted equal in tests)
             regen = lsy_requantize(crop, int(quality))
-        else:  # pragma: no cover - only reachable with PIL present
+        else:  # jpeg: full re-encode/decode through the T.81 codec
             regen = decode(encode(crop, fmt, quality=int(quality)), fmt)
         out["psnr_regen"] = psnr(crop, regen)
         out["psnr_ok"] = out["psnr_regen"] >= PSNR_MIN_DB

@@ -235,7 +235,7 @@ def test_engine_pixels_match_reference(images):
     sample = (
         images.filter(
             (F.col("seq") % 500 != 11)  # skip corrupted
-            & F.col("fmt").isin("png", "lsy")
+            & F.col("fmt").isin("png", "lsy", "jpeg")
             & (F.col("seq") % 200 != 31)  # skip near-dups (different base)
         )
         .orderBy("seq")
@@ -243,14 +243,25 @@ def test_engine_pixels_match_reference(images):
         .select("seq", "bytes", "fmt")
         .collect()
     )
-    assert len(sample) == 20
+    # pull a few jpeg rows explicitly (they start at seq%100 == 95 and
+    # the first-20 window is lsy-dominated)
+    sample += (
+        images.filter((F.col("fmt") == "jpeg") & (F.col("seq") % 500 != 11))
+        .orderBy("seq")
+        .limit(4)
+        .select("seq", "bytes", "fmt")
+        .collect()
+    )
+    assert len(sample) == 24
     for r in sample:
         ref = pixels_for(r["seq"])
         got = decode(bytes(r["bytes"]), r["fmt"])
         if r["fmt"] == "png":
             assert np.array_equal(got, ref), f"seq={r['seq']} png mismatch"
-        else:
+        elif r["fmt"] == "lsy":
             assert psnr(ref, got) >= 40.0, f"seq={r['seq']} lsy psnr too low"
+        else:  # baseline JPEG at q95: ~36 dB vs pre-encode pixels
+            assert psnr(ref, got) >= 30.0, f"seq={r['seq']} jpeg psnr too low"
 
 
 # ---------------------------------------------------------------------------

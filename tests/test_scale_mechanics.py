@@ -145,9 +145,13 @@ def test_hot_shingle_cap_bounds_boilerplate_corpus(spark, tmp_path):
     sf = str(tmp_path)
     pdf.to_parquet(f"{sf}/documents.parquet")
 
+    from pqc.exprs import hash64
+
     sh = _shingle_df(spark, sf)
     n_cold_boiler = (
-        capped_shingles(sh, cap=100).filter(F.col("s") == boiler).count()
+        capped_shingles(sh, cap=100)
+        .filter(F.col("hs") == hash64(F.lit(boiler)))
+        .count()
     )
     assert n_cold_boiler == 0  # the df-122 shingle is diverted
 
