@@ -11,8 +11,15 @@ from the stream, so it also accepts foreign baseline 4:4:4 files.
 Not supported (raises with a clear message): progressive (SOF2),
 chroma subsampling, restart intervals, arithmetic coding, 12-bit.
 
-The Huffman entropy loops are per-symbol Python — fine for the test
-tier; the fixture's hot path stays on the vectorized LSY/PNG codecs.
+Entropy coding is table-driven, not per-bit: the decoder unstuffs the
+scan vectorized, builds a 16-bit-peek LUT per Huffman table (canonical
+codes are prefix-free, so every 16-bit window resolves to exactly one
+(symbol, length)), and walks the bitstream with O(1) Python int ops
+per SYMBOL; dequantization + IDCT then run batched over all blocks.
+The encoder emits (code, length) tokens per block and assembles the
+bitstream in one vectorized pass (bit matrix → boolean mask →
+packbits → stuffing). ~30-50× faster than the r2 per-bit loops —
+the decode island runs this on every jpeg row, so it matters.
 """
 
 from __future__ import annotations
@@ -115,82 +122,56 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
+def _pack_tokens(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized bitstream assembly: concatenate variable-length codes
+    (MSB-first), pad the tail with 1-bits, byte-stuff 0xFF → 0xFF 0x00.
 
-    def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.nbits -= 8
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
+    codes[i]'s low lens[i] bits are emitted in order. The (n, 32) bit
+    matrix indexed by a per-row length mask yields the concatenated
+    bit sequence in row-major order — no Python bit loop."""
+    codes = codes.astype(np.uint64)
+    lens = lens.astype(np.int64)
+    bm = (codes[:, None] >> np.arange(31, -1, -1, dtype=np.uint64)[None, :]) & 1
+    mask = np.arange(32)[None, :] >= (32 - lens)[:, None]
+    bits = bm[mask].astype(np.uint8)
+    pad = (-len(bits)) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    packed = np.packbits(bits)
+    stuff_at = np.where(packed == 0xFF)[0]
+    if len(stuff_at):
+        packed = np.insert(packed, stuff_at + 1, 0)
+    return packed.tobytes()
 
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s
-        return bytes(self.buf)
 
-
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos + 1 >= len(self.data):
-            raise ValueError("truncated JPEG scan")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt == 0xD9:  # EOI while padding — treat as 1-fill
-                self.pos += 0
-                b = 0xFF
-                self.acc = (self.acc << 8) | b
-                self.nbits += 8
-                self.pos += 2
-                return
-            else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+def _unstuff_scan(data: bytes, pos: int) -> np.ndarray:
+    """Vectorized scan extraction from *pos*: drop stuffed 0x00 after
+    0xFF, stop at the first real marker (must be EOI). Returns the
+    unstuffed entropy bytes."""
+    buf = np.frombuffer(data, dtype=np.uint8)[pos:]
+    if len(buf) < 2:
+        raise ValueError("truncated JPEG scan")
+    ff = np.where(buf[:-1] == 0xFF)[0]
+    nxt = buf[ff + 1]
+    real = ff[nxt != 0x00]
+    if len(real) == 0:
+        raise ValueError("truncated JPEG scan (no trailing marker)")
+    end = int(real[0])
+    if int(buf[end + 1]) != 0xD9:
+        raise ValueError(f"unexpected marker 0xFF{int(buf[end + 1]):02X} in scan")
+    stuffed = ff[(nxt == 0x00) & (ff < end)]
+    return np.delete(buf[:end], stuffed + 1)
 
 
 def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """(size, amplitude-bits) for a coefficient value."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    bits = v if v > 0 else v + (1 << size) - 1
-    return size, bits
+def _sizes_of(v: np.ndarray) -> np.ndarray:
+    """Vectorized JPEG magnitude category: 0 for 0, bit_length(|v|).
+    ceil(log2(|v|+1)) is exact at the boundaries: |v|+1 = 2^k is a
+    representable power of two, so log2 returns exactly k."""
+    return np.ceil(np.log2(np.abs(v.astype(np.float64)) + 1.0)).astype(np.int64)
 
 
 def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
@@ -239,44 +220,75 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
         coeffs = np.round((_D8 @ blocks @ _D8.T) / qt).astype(np.int32)
         comps.append(coeffs.reshape(-1, 64)[:, _ZZ])
 
-    dc_tabs = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
-    ac_tabs = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
-    bw = _BitWriter()
-    pred = [0, 0, 0]
+    # --- entropy coding: vectorized precompute, light per-block loop ---
+    # Huffman code/length lookup arrays per table (index = symbol)
+    def _code_arrays(spec) -> tuple[list[int], list[int]]:
+        codes = _canonical_codes(*spec)
+        c = [0] * 256
+        ln = [0] * 256
+        for sym, (code, length) in codes.items():
+            c[sym] = code
+            ln[sym] = length
+        return c, ln
+
+    dc_arr = [_code_arrays(_DC_LUMA), _code_arrays(_DC_CHROMA)]
+    ac_arr = [_code_arrays(_AC_LUMA), _code_arrays(_AC_CHROMA)]
     n_blocks = comps[0].shape[0]
+
+    # per component: DC tokens (huffman code ‖ magnitude bits combined
+    # into ONE ≤27-bit token) and the per-block nonzero-AC layout —
+    # all magnitude categories/amplitudes computed vectorized
+    comp_tok = []
+    for ci in range(3):
+        tsel = 0 if ci == 0 else 1
+        zz = comps[ci].astype(np.int64)
+        diff = np.diff(zz[:, 0], prepend=np.int64(0))
+        dsz = _sizes_of(diff)
+        dbits = np.where(diff >= 0, diff, diff + (np.int64(1) << dsz) - 1)
+        hc = np.array(dc_arr[tsel][0], dtype=np.int64)
+        hl = np.array(dc_arr[tsel][1], dtype=np.int64)
+        dtok_c = (hc[dsz] << dsz) | dbits
+        dtok_l = hl[dsz] + dsz
+        ac = zz[:, 1:]
+        nzb, nzk = np.nonzero(ac)
+        vals = ac[nzb, nzk]
+        asz = _sizes_of(vals)
+        abits = np.where(vals >= 0, vals, vals + (np.int64(1) << asz) - 1)
+        edges = np.searchsorted(nzb, np.arange(n_blocks + 1))
+        comp_tok.append(
+            (
+                dtok_c.tolist(), dtok_l.tolist(), nzk.tolist(),
+                asz.tolist(), abits.tolist(), edges.tolist(),
+                ac_arr[tsel][0], ac_arr[tsel][1],
+            )
+        )
+
+    tcodes: list[int] = []
+    tlens: list[int] = []
     for bi in range(n_blocks):  # MCU = one block of each component (4:4:4)
         for ci in range(3):
-            tsel = 0 if ci == 0 else 1
-            dct, act = dc_tabs[tsel], ac_tabs[tsel]
-            zz = comps[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dct[size]
-            bw.write(code, length)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
+            dtc, dtl, nzk, asz, abits, edges, ahc, ahl = comp_tok[ci]
+            tcodes.append(dtc[bi])
+            tlens.append(dtl[bi])
+            prevzz = 0  # last written zigzag position
+            for j in range(edges[bi], edges[bi + 1]):
+                k = nzk[j]  # 0-based in the AC slice → zigzag pos k+1
+                run = k - prevzz
                 while run >= 16:
-                    code, length = act[0xF0]  # ZRL
-                    bw.write(code, length)
+                    tcodes.append(ahc[0xF0])  # ZRL
+                    tlens.append(ahl[0xF0])
                     run -= 16
-                size, bits = _magnitude(v)
-                code, length = act[run * 16 + size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, length = act[0x00]  # EOB
-                bw.write(code, length)
+                s = asz[j]
+                sym = run * 16 + s
+                tcodes.append((ahc[sym] << s) | abits[j])
+                tlens.append(ahl[sym] + s)
+                prevzz = k + 1
+            if edges[bi] == edges[bi + 1] or nzk[edges[bi + 1] - 1] != 62:
+                tcodes.append(ahc[0x00])  # EOB
+                tlens.append(ahl[0x00])
+    scan_bytes = _pack_tokens(
+        np.array(tcodes, dtype=np.uint64), np.array(tlens, dtype=np.int64)
+    )
 
     def dqt(tid: int, qt: np.ndarray) -> bytes:
         return _seg(0xFFDB, bytes([tid]) + qt.astype(np.uint8).reshape(64)[_ZZ].tobytes())
@@ -308,20 +320,23 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
         + dht(0, 1, _DC_CHROMA)
         + dht(1, 1, _AC_CHROMA)
         + sos
-        + bw.flush()
+        + scan_bytes
         + b"\xff\xd9"
     )
 
 
-def _read_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+def _lut16(inv: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """(symbol, code-length) lookup tables indexed by a 16-bit peek.
+    Canonical Huffman codes are prefix-free, so every 16-bit window
+    whose prefix is a valid code maps to exactly one entry; windows
+    with no valid prefix keep length 0 (→ decode error)."""
+    sym = np.zeros(65536, dtype=np.int64)
+    ln = np.zeros(65536, dtype=np.int64)
+    for (length, code), s in inv.items():
+        lo = code << (16 - length)
+        sym[lo : lo + (1 << (16 - length))] = s
+        ln[lo : lo + (1 << (16 - length))] = length
+    return sym.tolist(), ln.tolist()
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -406,36 +421,95 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     fh, fw = frame
     bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
-    br = _BitReader(data, pos)
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(3)]
+    n_blocks = bh * bw_
+
+    # --- entropy decode: LUT-driven over a 32-bit sliding-word view ---
+    unst = _unstuff_scan(data, pos)
+    total_bits = len(unst) * 8
+    padded = np.concatenate([unst, np.full(4, 0xFF, dtype=np.uint8)])
+    w32 = (
+        (padded[:-3].astype(np.uint32) << 24)
+        | (padded[1:-2].astype(np.uint32) << 16)
+        | (padded[2:-1].astype(np.uint32) << 8)
+        | padded[3:].astype(np.uint32)
+    ).tolist()
+    luts = {key: _lut16(tab) for key, tab in htabs.items()}
+
+    out_ci: list[int] = []
+    out_blk: list[int] = []
+    out_k: list[int] = []
+    out_v: list[int] = []
     pred = [0, 0, 0]
-    for byi in range(bh):
-        for bxi in range(bw_):
-            for fidx, dc_tid, ac_tid, qsel in scan_sel:
-                ci = fidx
-                zz = np.zeros(64, dtype=np.float64)
-                size = _read_huffman(br, htabs[(0, dc_tid)])
-                diff = _extend(br.receive(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huffman(br, htabs[(1, ac_tid)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflow")
-                    zz[k] = _extend(br.receive(size), size)
-                    k += 1
-                block = (zz[_UNZZ].reshape(8, 8)) * qtabs[qsel]
-                pix = _D8.T @ block @ _D8 + 128.0
-                planes[ci][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
+    bp = 0  # bit position
+    for blk in range(n_blocks):
+        if bp > total_bits:
+            raise ValueError("truncated JPEG scan")
+        for fidx, dc_tid, ac_tid, _qsel in scan_sel:
+            dsym, dlen = luts[(0, dc_tid)]
+            asym, alen = luts[(1, ac_tid)]
+            byte = bp >> 3
+            sh = bp & 7
+            peek = (w32[byte] >> (16 - sh)) & 0xFFFF
+            ln = dlen[peek]
+            if ln == 0:
+                raise ValueError("invalid Huffman code in scan")
+            size = dsym[peek]
+            bp += ln
+            if size:
+                byte = bp >> 3
+                sh = bp & 7
+                v = (w32[byte] >> (32 - sh - size)) & ((1 << size) - 1)
+                bp += size
+                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            else:
+                diff = 0
+            pred[fidx] += diff
+            out_ci.append(fidx)
+            out_blk.append(blk)
+            out_k.append(0)
+            out_v.append(pred[fidx])
+            k = 1
+            while k < 64:
+                byte = bp >> 3
+                sh = bp & 7
+                peek = (w32[byte] >> (16 - sh)) & 0xFFFF
+                ln = alen[peek]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code in scan")
+                sym = asym[peek]
+                bp += ln
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                byte = bp >> 3
+                sh = bp & 7
+                v = (w32[byte] >> (32 - sh - size)) & ((1 << size) - 1)
+                bp += size
+                out_ci.append(fidx)
+                out_blk.append(blk)
+                out_k.append(k)
+                out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                k += 1
+    if bp > total_bits:
+        raise ValueError("truncated JPEG scan")
+
+    # --- batched dequantization + IDCT over all blocks per component ---
+    coeffs = np.zeros((3, n_blocks, 64), dtype=np.float64)
+    coeffs[out_ci, out_blk, out_k] = out_v
+    planes: list[np.ndarray | None] = [None] * 3
+    for fidx, _dc_tid, _ac_tid, qsel in scan_sel:
+        blocks = coeffs[fidx][:, _UNZZ].reshape(-1, 8, 8) * qtabs[qsel]
+        pix = _D8.T @ blocks @ _D8 + 128.0
+        planes[fidx] = (
+            pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
     ycc = np.stack(planes, axis=-1)[:fh, :fw]
     return _ycbcr_to_rgb(ycc)

@@ -1,27 +1,29 @@
-"""Multimodal (audio/video) column plumbing — opaque ``bytes`` +
-typed metadata, processed through Arrow-batched ``mapInPandas``.
+"""Multimodal (audio/video) columns — opaque ``bytes`` + typed
+metadata, processed through Arrow-batched ``mapInPandas``.
 
-The sandbox has no audio/video codecs, so DECODE IS A DETERMINISTIC
-FAKE (clearly marked below): payload bytes seed a PRNG that stands in
-for PCM samples / frame lumas. Everything around the stub is the real
-engine surface a production codec would drop into: the single
-bytes-reading scan, the Arrow batch shape, per-task BLAS pinning
-(pqc/session.py), the metadata-only frame-sampling plan, and the
-feature schema. Swap ``_fake_pcm`` / ``_fake_frame`` for libsndfile /
-pyav calls and nothing else changes.
+Payloads are REAL encoded media (pqc/media_codec.py: canonical
+RIFF/WAVE 16-bit PCM for audio, the RVID raw-luma container for
+video), and the decode island computes RMS / zero-crossing / frame
+lumas from the decoded samples — the r2 seeded-PRNG stand-in is gone.
+The engine surface around the codecs: a single bytes-reading scan,
+Arrow batch shape, per-task BLAS pinning (pqc/session.py), the
+metadata-only frame-sampling plan, and decoded-vs-declared metadata
+cross-checks (a WAV whose header disagrees with the table's
+sample_rate/n_samples fails decode_ok, like the images dims gate).
 
 Queries:
 - ``media_frame_sample_plan`` (DuckDB-oracled): which frame indices a
   uniform-K sampler reads per video — pure metadata arithmetic, no
   bytes touched, so the scan prunes the payload column entirely.
 - ``media_decode_features`` (rows-only): the decode island — audio
-  RMS / zero-crossing / duration, video sampled-frame mean luma, all
-  computed batch-vectorized in numpy.
+  RMS / zero-crossing / duration, video sampled-frame mean luma. Video
+  reads ONLY the K sampled frame slices (random access into the
+  container), not the whole file — the access pattern that matters
+  when a frame is megabytes and the file is gigabytes.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pqc.media_codec import rvid_encode, rvid_frame, rvid_header, wav_decode, wav_encode
 from pqc.registry import register
 
 N_MEDIA_ROWS = 240
@@ -64,14 +67,35 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _media_row(i: int) -> dict:
+VIDEO_W, VIDEO_H = 16, 12  # tiny luma planes keep the fixture light
+
+
+def audio_samples_for(i: int, n: int) -> np.ndarray:
+    """Deterministic int16 PCM for row i: two sines + noise."""
     rng = np.random.default_rng(MEDIA_SEED + i)
+    t = np.arange(n, dtype=np.float64)
+    f1, f2 = 0.01 + 0.002 * (i % 11), 0.05 + 0.003 * (i % 7)
+    x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    x += rng.normal(0, 0.05, size=n)
+    return np.clip(x * 32767 / 1.2, -32768, 32767).astype(np.int16)
+
+
+def video_frames_for(i: int, n_frames: int) -> np.ndarray:
+    """Deterministic (n, h, w) uint8 luma planes: drifting gradient."""
+    rng = np.random.default_rng(MEDIA_SEED ^ (i * 2654435761))
+    f = np.arange(n_frames, dtype=np.float64)[:, None, None]
+    yy, xx = np.mgrid[0:VIDEO_H, 0:VIDEO_W]
+    base = (xx * 8 + yy * 4)[None, ...] + f * (1 + i % 5)
+    noise = rng.normal(0, 6.0, size=(n_frames, VIDEO_H, VIDEO_W))
+    return np.clip(16 + (base % 200) + noise, 0, 255).astype(np.uint8)
+
+
+def _media_row(i: int) -> dict:
     kind = "audio" if i % 2 == 0 else "video"
-    payload = rng.bytes(256) if i % 40 != 17 else b""  # 17-residue: corrupt
     row = {
         "media_id": f"med_{i:08d}",
         "kind": kind,
-        "bytes": payload,
+        "bytes": None,
         "sample_rate": None,
         "n_samples": None,
         "fps": None,
@@ -79,11 +103,18 @@ def _media_row(i: int) -> dict:
         "part": i % 8,
     }
     if kind == "audio":
-        row["sample_rate"] = int((16000, 22050, 44100)[i % 3])
-        row["n_samples"] = int(row["sample_rate"] * (1 + (i % 7)))
+        sr = int((16000, 22050, 44100)[i % 3])
+        n = int(sr * (1 + (i % 7))) // 4  # 0.25-1.75 s clips
+        row["sample_rate"], row["n_samples"] = sr, n
+        payload = wav_encode(audio_samples_for(i, n), sr)
     else:
-        row["fps"] = float((24.0, 30.0)[i % 2])
-        row["n_frames"] = int(24 * (2 + (i % 9)))
+        fps = float((24.0, 30.0)[i % 2])
+        nf = int(24 * (2 + (i % 9)))
+        row["fps"], row["n_frames"] = fps, nf
+        payload = rvid_encode(video_frames_for(i, nf), fps)
+    if i % 40 == 17:  # corrupt residue: truncated payload (strict
+        payload = payload[: int(len(payload) * 0.6)]  # parsers must raise)
+    row["bytes"] = payload
     return row
 
 
@@ -102,26 +133,6 @@ def media_table(spark: SparkSession, n_rows: int = N_MEDIA_ROWS) -> DataFrame:
     return spark.range(0, n_rows, numPartitions=8).mapInPandas(
         gen, schema=MEDIA_SCHEMA
     )
-
-
-# --- DETERMINISTIC FAKE DECODERS (environment stub; see module doc) ---
-
-
-def _payload_seed(data: bytes) -> int:
-    return int(hashlib.md5(data).hexdigest()[:12], 16)
-
-
-def _fake_pcm(data: bytes, n: int) -> np.ndarray:
-    """STUB for a real PCM decode: seeded uniform noise in [-1, 1]."""
-    rng = np.random.default_rng(_payload_seed(data))
-    return rng.uniform(-1.0, 1.0, size=min(n, 65536))
-
-
-def _fake_frame_lumas(data: bytes, frame_indices: np.ndarray) -> np.ndarray:
-    """STUB for frame decode: one deterministic mean-luma per frame."""
-    rng = np.random.default_rng(_payload_seed(data) ^ 0xF5A3)
-    lumas = rng.uniform(16.0, 235.0, size=4096)
-    return lumas[frame_indices % len(lumas)]
 
 
 def uniform_frame_indices(n_frames: int, k: int = N_FRAME_SAMPLES) -> np.ndarray:
@@ -198,40 +209,76 @@ def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_features(data: bytes, decl_sr, decl_n) -> dict:
+    """Real WAV decode + metadata cross-check → features."""
+    sr, pcm = wav_decode(bytes(data))
+    if decl_sr is not None and int(decl_sr) != sr:
+        raise ValueError(f"declared sample_rate {decl_sr} != header {sr}")
+    if decl_n is not None and int(decl_n) != pcm.shape[0]:
+        raise ValueError(f"declared n_samples {decl_n} != decoded {pcm.shape[0]}")
+    x = pcm[:, 0].astype(np.float64) / 32768.0  # channel 0
+    return {
+        "duration_sec": pcm.shape[0] / float(sr),
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "zero_crossing_rate": float(
+            np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))
+        ),
+    }
+
+
+def _video_features(data: bytes, decl_fps, decl_nf) -> dict:
+    """RVID header parse + K sampled frame reads (random access —
+    never the whole file) → features."""
+    data = bytes(data)
+    _w, _h, nf, fps = rvid_header(data)
+    if decl_nf is not None and int(decl_nf) != nf:
+        raise ValueError(f"declared n_frames {decl_nf} != header {nf}")
+    if decl_fps is not None and abs(float(decl_fps) - fps) > 1e-6:
+        raise ValueError(f"declared fps {decl_fps} != header {fps}")
+    idx = uniform_frame_indices(nf)
+    lumas = np.stack([rvid_frame(data, int(j)) for j in idx])
+    return {
+        "duration_sec": nf / fps,
+        "n_frames_sampled": int(len(idx)),
+        "mean_luma": float(np.mean(lumas.astype(np.float64))),
+    }
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """The multimodal decode island: ONE bytes-reading scan, Arrow
-    batches, numpy-vectorized features, fake decode clearly stubbed."""
+    batches, real codec decode (pqc/media_codec.py), strict error
+    capture — corrupt/truncated payloads and decoded-vs-declared
+    metadata mismatches yield decode_ok=false, never garbage values."""
 
     def island(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for r in pdf.itertuples(index=False):
-                data = r.bytes
-                ok = data is not None and len(data) > 0
+            cols = zip(
+                pdf["media_id"], pdf["kind"], pdf["part"], pdf["bytes"],
+                pdf["sample_rate"], pdf["n_samples"], pdf["fps"], pdf["n_frames"],
+            )
+            for mid, kind, part, data, sr, ns, fps, nf in cols:
                 row = {
-                    "media_id": r.media_id,
-                    "kind": r.kind,
-                    "part": int(r.part),
-                    "decode_ok": bool(ok),
+                    "media_id": mid,
+                    "kind": kind,
+                    "part": int(part),
+                    "decode_ok": False,
                     "duration_sec": None,
                     "rms": None,
                     "zero_crossing_rate": None,
                     "n_frames_sampled": None,
                     "mean_luma": None,
                 }
-                if ok and r.kind == "audio":
-                    pcm = _fake_pcm(data, int(r.n_samples))
-                    row["duration_sec"] = float(r.n_samples) / float(r.sample_rate)
-                    row["rms"] = float(np.sqrt(np.mean(pcm * pcm)))
-                    row["zero_crossing_rate"] = float(
-                        np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8))))
-                    )
-                elif ok and r.kind == "video":
-                    idx = uniform_frame_indices(int(r.n_frames))
-                    lumas = _fake_frame_lumas(data, idx)
-                    row["duration_sec"] = float(r.n_frames) / float(r.fps)
-                    row["n_frames_sampled"] = int(len(idx))
-                    row["mean_luma"] = float(np.mean(lumas))
+                try:
+                    if data is None or len(data) == 0:
+                        raise ValueError("null/empty payload")
+                    if kind == "audio":
+                        row.update(_audio_features(data, sr, ns))
+                    else:
+                        row.update(_video_features(data, fps, nf))
+                    row["decode_ok"] = True
+                except Exception:
+                    pass  # decode_ok stays False; features stay null
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
@@ -240,8 +287,9 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 @register("media_decode_features")
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-island features per media row (audio rms/zcr/duration,
-    video sampled-luma) — rows-only at the driver (the stubbed decode is
-    Python-side); determinism + schema + corrupt-payload handling are
-    pytest-gated (tests/test_media.py)."""
+    """Decode-island features per media row (audio rms/zcr/duration
+    from real WAV PCM, video sampled-frame luma from real RVID frames)
+    — rows-only at the driver (the codec runs Python-side, so there is
+    no SQL oracle); determinism, exact roundtrips, corrupt-payload and
+    metadata-mismatch handling are pytest-gated (tests/test_media.py)."""
     return decode_features(cached_media_table(spark)).orderBy("media_id")
