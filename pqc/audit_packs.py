@@ -864,3 +864,146 @@ def nutrient_per100g_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fibre_g").alias("fibre_g_per_100g"),
         F.col("protein_g").alias("protein_g_per_100g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Free-From quick-check, BULK tier — generated 2000-row catalog
+# ---------------------------------------------------------------------------
+#
+# The inline-fixture packs above prove rule arithmetic exactly but
+# exercise no scan/shuffle (r2 VERDICT "weak evidence" note). This
+# variant runs the SAME free-from semantics over a deterministically
+# generated 2000-row catalog persisted as parquet: a real scan, a real
+# explode, a real broadcast-join + aggregation — the plan shape that
+# runs at 10^12 rows — while the DuckDB oracle reads the identical
+# parquet and recomputes the screen from scratch.
+
+N_CATALOG_ROWS = 2000
+_CATALOG_SEED = 77
+
+
+def _catalog_row(i: int) -> dict:
+    import numpy as np
+
+    rng = np.random.default_rng(_CATALOG_SEED * 65_537 + i)
+    claims_all = sorted(FREE_FROM_VOCAB)
+    k = 1 + int(rng.integers(0, 3))  # 1-3 claims per product
+    claims = list(rng.choice(claims_all, size=k, replace=False))
+    fillers = ["water", "sugar", "rice flour", "pea protein", "sunflower oil",
+               "citric acid", "natural flavouring", "maltodextrin"]
+    ing = list(rng.choice(fillers, size=4, replace=False))
+    if i % 3 == 0:  # inject a conflict for the FIRST claim
+        toks = FREE_FROM_VOCAB[claims[0]]
+        ing.insert(1, toks[int(rng.integers(0, len(toks)))])
+    if i % 7 == 0:  # cross-claim trap: token from an UNRELATED claim
+        other = claims_all[(claims_all.index(claims[0]) + 5) % len(claims_all)]
+        if other not in claims:
+            ing.append(FREE_FROM_VOCAB[other][0])
+    return {
+        "row_id": i,
+        "claims": "; ".join(claims),
+        "ingredients": ", ".join(ing).title(),
+    }
+
+
+def _catalog_path() -> str:
+    return f"/tmp/pqc_fixtures/catalog_n{N_CATALOG_ROWS}"
+
+
+def _ensure_catalog(spark: SparkSession) -> str:
+    import os
+
+    from pqc.session import _ship_package
+
+    _ship_package(spark)
+    path = _catalog_path()
+    if not os.path.exists(path + "/_SUCCESS"):
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        def gen(batches: "Iterator[pd.DataFrame]"):
+            for pdf in batches:
+                yield pd.DataFrame([_catalog_row(int(i)) for i in pdf["id"]])
+
+        (
+            spark.range(0, N_CATALOG_ROWS, numPartitions=8)
+            .mapInPandas(gen, schema="row_id long, claims string, ingredients string")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _ff_bulk_oracle() -> str:
+    return f"""
+WITH s AS (SELECT * FROM read_parquet('{_catalog_path()}/*.parquet')),
+{values_cte(_FF_DIM_ROWS, _FF_DIM_COLS, 'v')},
+cl AS (
+  SELECT row_id, trim(unnest(string_split(lower(claims), ';'))) AS claim,
+         {_pad_sql("COALESCE(ingredients, '')")} AS pad
+  FROM s
+),
+hits AS (
+  SELECT cl.row_id, cl.claim, v.tok_idx, v.token
+  FROM cl JOIN v ON v.claim = cl.claim
+  WHERE instr(cl.pad, ' ' || v.token || ' ') > 0
+),
+best AS (
+  SELECT row_id, claim, MIN(tok_idx) AS tok_idx FROM hits GROUP BY 1, 2
+),
+tok AS (
+  SELECT b.row_id, b.claim, h.token
+  FROM best b JOIN hits h
+    ON h.row_id = b.row_id AND h.claim = b.claim AND h.tok_idx = b.tok_idx
+)
+SELECT cl.claim,
+       CASE WHEN t.token IS NULL THEN 'ok' ELSE 'needs_review' END AS status,
+       COALESCE(t.token, '') AS conflict_token,
+       COUNT(*) AS n_products
+FROM cl LEFT JOIN tok t ON t.row_id = cl.row_id AND t.claim = cl.claim
+GROUP BY 1, 2, 3
+"""
+
+
+@register("free_from_bulk_screen")
+def free_from_bulk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-From screen over the generated 2000-row catalog parquet,
+    rolled up per (claim, status, conflict_token). Same semantics as
+    gluten_free_check; the plan is scan → explode → broadcast vocab
+    join → two hash aggregations — every stage map-side-combined, the
+    only wide shuffle keyed on (row_id, claim). The oracle is attached
+    after the parquet exists (pqc/registry.py late-oracle pattern via
+    module import: the path is deterministic, so the SQL embeds it)."""
+    _ensure_catalog(spark)
+    s = spark.read.parquet(_catalog_path())
+    v = F.broadcast(spark_inline(spark, _FF_DIM_ROWS, _FF_DIM_COLS))
+    cl = s.select(
+        "row_id",
+        F.explode(F.split(F.lower("claims"), ";")).alias("claim_raw"),
+        _pad_col(F.coalesce(F.col("ingredients"), F.lit(""))).alias("pad"),
+    ).select("row_id", F.trim("claim_raw").alias("claim"), "pad")
+    hits = (
+        cl.join(v, "claim")
+        .filter(F.instr(F.col("pad"), F.concat(F.lit(" "), F.col("token"), F.lit(" "))) > 0)
+        .groupBy("row_id", "claim")
+        .agg(F.min_by("token", "tok_idx").alias("conflict_token"))
+    )
+    return (
+        cl.select("row_id", "claim")
+        .join(hits, ["row_id", "claim"], "left")
+        .select(
+            "claim",
+            F.when(F.col("conflict_token").isNull(), "ok")
+            .otherwise("needs_review")
+            .alias("status"),
+            F.coalesce("conflict_token", F.lit("")).alias("conflict_token"),
+        )
+        .groupBy("claim", "status", "conflict_token")
+        .agg(F.count(F.lit(1)).alias("n_products"))
+    )
+
+
+from pqc.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["free_from_bulk_screen"].oracle = _ff_bulk_oracle()

@@ -156,15 +156,24 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
     )
 
 
-def capped_shingles(sh: DataFrame, cap: int = MAX_SHINGLE_DF) -> DataFrame:
-    """Exclude shingles whose document frequency exceeds *cap* from
-    candidate generation (the inverted index's skew guard: one
-    boilerplate shingle in d docs contributes d²/2 candidate pairs).
-    The df count is a map-side-combined aggregate; the hot list is tiny
-    by construction, so the diversion is a broadcast anti-join."""
+def split_shingles(
+    sh: DataFrame, cap: int = MAX_SHINGLE_DF
+) -> tuple[DataFrame, DataFrame]:
+    """(cold, hot) split of the shingle table by document frequency
+    (the inverted index's skew guard: one boilerplate shingle in d docs
+    contributes d²/2 candidate pairs). The df count is a map-side-
+    combined aggregate; the hot KEY list is tiny by construction, so
+    both sides are broadcast (anti-)joins against it."""
     dfc = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
-    hot = dfc.filter(F.col("df") > cap)
-    return sh.join(F.broadcast(hot.select("hs")), "hs", "left_anti")
+    hot_keys = F.broadcast(dfc.filter(F.col("df") > cap).select("hs"))
+    cold = sh.join(hot_keys, "hs", "left_anti")
+    hot = sh.join(hot_keys, "hs", "left_semi")
+    return cold, hot
+
+
+def capped_shingles(sh: DataFrame, cap: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Cold side of :func:`split_shingles` (candidate-generation input)."""
+    return split_shingles(sh, cap)[0]
 
 
 @register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
@@ -174,30 +183,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index self-join with a hot-shingle df cap: candidates come
     from the equi-join over shingles in ≤ MAX_SHINGLE_DF docs (a
     Catalyst hash join — never a cross join, and never quadratic in a
-    boilerplate shingle's bucket); intersections are then counted over
-    the FULL shingle sets, so surviving pairs carry their true Jaccard.
+    boilerplate shingle's bucket). The candidate join doubles as the
+    COLD-intersection count (GROUP BY pair instead of DISTINCT — same
+    shuffle, one more aggregate), so the full-set verify reduces to
+    re-joining only the HOT shingle slice for candidate pairs:
+    n_common = |cold ∩| + |hot ∩|, exactly the full intersection, with
+    the two big verify joins of the r2 plan replaced by joins against
+    a slice that is EMPTY on a boilerplate-free corpus. Sizes still
+    count the full sets, so surviving pairs carry their true Jaccard.
     This is the reference's segment-index pattern
     (`banningredients.py:172-182`) lifted to pair generation, with the
     same screen→confirm layering as MinHash below.
     """
-    sh = pin(_shingle_df(spark, sf_dir))  # reused 5×: df cap, 2 cand sides, sizes, 2 inter sides
-    cold = pin(capped_shingles(sh))
+    sh = pin(_shingle_df(spark, sf_dir))  # reused: df split, sizes, hot slice
+    cold, hot = split_shingles(sh)
+    cold = pin(cold)
     a = cold.alias("a")
     b = cold.alias("b")
-    cand = (
+    cold_common = pin(  # feeds hot_common AND inter — pin or the
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_cold"))  # self-join runs twice
+    )
+    hsa = hot.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    hsb = hot.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    hot_common = (
+        cold_common.select("doc_a", "doc_b")
+        .join(hsa, "doc_a")
+        .join(hsb, "doc_b")
+        .filter(F.col("ha") == F.col("hb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
-        .filter(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inter = cold_common.join(hot_common, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0))).alias("n_common"),
     )
     jacc = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")

@@ -325,18 +325,31 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
 def _lut16(inv: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
     """(symbol, code-length) lookup tables indexed by a 16-bit peek.
     Canonical Huffman codes are prefix-free, so every 16-bit window
     whose prefix is a valid code maps to exactly one entry; windows
-    with no valid prefix keep length 0 (→ decode error)."""
+    with no valid prefix keep length 0 (→ decode error). Memoized on
+    the table contents — the island decodes thousands of images that
+    all transmit the standard Annex-K tables, and 4×65536 fills per
+    image would dominate small decodes."""
+    key = tuple(sorted(inv.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.zeros(65536, dtype=np.int64)
     ln = np.zeros(65536, dtype=np.int64)
     for (length, code), s in inv.items():
         lo = code << (16 - length)
         sym[lo : lo + (1 << (16 - length))] = s
         ln[lo : lo + (1 << (16 - length))] = length
-    return sym.tolist(), ln.tolist()
+    out = (sym.tolist(), ln.tolist())
+    if len(_LUT_CACHE) < 64:  # bound: foreign files with exotic tables
+        _LUT_CACHE[key] = out
+    return out
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -426,7 +439,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     # --- entropy decode: LUT-driven over a 32-bit sliding-word view ---
     unst = _unstuff_scan(data, pos)
     total_bits = len(unst) * 8
-    padded = np.concatenate([unst, np.full(4, 0xFF, dtype=np.uint8)])
+    # padding must cover the worst case a single MCU can overrun before
+    # the per-MCU truncation check fires: 3 comps × (DC ≤ 27 bits +
+    # 63 AC × ≤ 27 bits) ≈ 5.2 kbit ≈ 650 bytes. All-ones padding hits
+    # an invalid-prefix LUT entry (canonical tables never assign the
+    # all-ones max-length code), so overruns fail as ValueError, not
+    # an IndexError escaping the codec's error contract.
+    padded = np.concatenate([unst, np.full(1024, 0xFF, dtype=np.uint8)])
     w32 = (
         (padded[:-3].astype(np.uint32) << 24)
         | (padded[1:-2].astype(np.uint32) << 16)

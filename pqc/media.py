@@ -112,8 +112,10 @@ def _media_row(i: int) -> dict:
         nf = int(24 * (2 + (i % 9)))
         row["fps"], row["n_frames"] = fps, nf
         payload = rvid_encode(video_frames_for(i, nf), fps)
-    if i % 40 == 17:  # corrupt residue: truncated payload (strict
-        payload = payload[: int(len(payload) * 0.6)]  # parsers must raise)
+    # corrupt residues: 17 (odd → video/RVID) AND 18 (even → audio/WAV)
+    # so BOTH strict parsers see truncated payloads through the island
+    if i % 40 in (17, 18):
+        payload = payload[: int(len(payload) * 0.6)]
     row["bytes"] = payload
     return row
 
@@ -142,8 +144,13 @@ def uniform_frame_indices(n_frames: int, k: int = N_FRAME_SAMPLES) -> np.ndarray
     return (np.arange(k) * n_frames // k).astype("int64")
 
 
+_MEDIA_FIXTURE_VERSION = 2  # v2: real WAV/RVID payloads (r3) — bump on
+# any _media_row content change or a warm cross-round cache silently
+# serves stale payloads to the island
+
+
 def _media_parquet_path() -> str:
-    return f"/tmp/pqc_fixtures/media_n{N_MEDIA_ROWS}"
+    return f"/tmp/pqc_fixtures/media_n{N_MEDIA_ROWS}_v{_MEDIA_FIXTURE_VERSION}"
 
 
 def cached_media_table(spark: SparkSession) -> DataFrame:

@@ -117,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "audit_nutritionals_scan",
     "gelatin_source_classify",
     "nutrient_per100g_extract",
+    "free_from_bulk_screen",
     "streaming_windowed_rollup",
     # -- r2 red row (quantile parity fixed in r3) + the images family
     "images_partition_stats",

@@ -92,13 +92,19 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries can't perturb the hash."""
     # the file stream source requires a DIRECTORY; the testdata ships
     # each table as one parquet file, so stage it (hard-link, falling
-    # back to copy) into a cached per-sf dir — production sources are
-    # already directories/tables
+    # back to copy) into a cached dir — production sources are already
+    # directories/tables. The stage key includes the source's identity
+    # (size + mtime) so a regenerated events.parquet or a same-basename
+    # sf dir from another checkout never serves a stale copy; it lives
+    # under /tmp/pqc_fixtures so the documented cache-reset ritual
+    # (delete that dir) clears it too.
     import os
     import shutil
 
     src = f"{sf_dir}/events.parquet"
-    stage = f"/tmp/pqc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}"
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
+    stage = f"/tmp/pqc_fixtures/stream_src_{key}"
     staged = f"{stage}/events.parquet"
     if not os.path.exists(staged):
         os.makedirs(stage, exist_ok=True)

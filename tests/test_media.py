@@ -53,7 +53,8 @@ def test_media_kinds_populate_their_feature_columns(spark):
 def test_media_corrupt_payload_flagged_not_crashed(spark):
     rows = decode_features(media_table(spark)).collect()
     bad = [r for r in rows if not r["decode_ok"]]
-    assert len(bad) == 240 // 40  # the i%40==17 residue
+    assert len(bad) == 2 * (240 // 40)  # residues 17 (video) + 18 (audio)
+    assert {r["kind"] for r in bad} == {"audio", "video"}  # both parsers
     assert all(r["duration_sec"] is None for r in bad)
 
 

@@ -140,3 +140,16 @@ def test_competitor_widen_then_trim_single_token_join(spark):
     plan = plan_of(REGISTRY["competitor_topk_match"].fn(spark, SF_DIR_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_driver_priority_names_all_resolve():
+    """Every DRIVER_PRIORITY entry must name a registered query — a
+    typo or a rename would silently demote the real query out of the
+    driver's first-50 CORRECTNESS window with no failure anywhere."""
+    from pqc.registry import DRIVER_PRIORITY, REGISTRY, all_queries
+
+    all_queries()
+    dead = set(DRIVER_PRIORITY) - set(REGISTRY)
+    assert not dead, f"DRIVER_PRIORITY names not in REGISTRY: {sorted(dead)}"
+    dupes = [n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate DRIVER_PRIORITY entries: {dupes}"

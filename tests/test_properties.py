@@ -164,3 +164,36 @@ def test_ks_statistic_matches_numpy_reference(spark, a, b):
 
     shifted = spark.createDataFrame([(float(x) + 40.0,) for x in a], "v double")
     assert ks_statistic(cur, shifted, "v").first()["ks_stat"] >= got - 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    st.sampled_from([0.25, 0.5, 0.75, 0.95]),
+)
+@settings(max_examples=30, deadline=None)
+def test_quantile_exact_matches_rational_reference(vals, q):
+    """pqc/exprs.quantile_exact (integer lo/hi interpolation on the
+    1/20 grid) must equal the EXACT rational linear-interpolated
+    quantile, correctly rounded to double — i.e. the SQL twin's output
+    is the closest double to (lo*(20-j) + hi*j)/20. (numpy's
+    lo + (hi-lo)*q drifts in the last ulp — e.g. [0,3] @ 0.95 gives
+    2.8499999999999996 — which is exactly the cross-engine failure
+    mode this helper eliminates.)"""
+    from fractions import Fraction
+
+    import duckdb
+
+    from pqc.exprs import quantile_exact_sql
+
+    s = sorted(vals)
+    n = len(s)
+    k20 = (n - 1) * round(q * 20)
+    j = k20 % 20
+    lo = s[k20 // 20]
+    hi = s[min(k20 // 20 + 1, n - 1)]
+    expected = float(Fraction(lo * (20 - j) + hi * j, 20))
+    arr_sql = "list_sort([" + ", ".join(map(str, vals)) + "])"
+    got = duckdb.sql(
+        f"SELECT {quantile_exact_sql(arr_sql, q)} AS v"
+    ).fetchone()[0]
+    assert got == expected, (vals, q, got, expected)
