@@ -190,28 +190,37 @@ def gluten_free_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first (lowest-index) vocabulary entry found — deterministic in
     both engines. Broadcast vocab dim; zero wide shuffles."""
     s = spark_inline(spark, FREE_FROM_FIXTURE, _FF_COLS)
+    return _free_from_screen(spark, s).select(
+        "row_id", "claim", "status", "conflict_token"
+    )
+
+
+def _free_from_screen(spark: SparkSession, s: DataFrame) -> DataFrame:
+    """Shared free-from plan: explode claims → LEFT broadcast vocab
+    join → ONE hash aggregation. The best (lowest-index) conflict is a
+    conditional MIN over a (tok_idx, token) struct, so no hits-subquery
+    join-back is needed — rows with zero conflicts aggregate to NULL
+    and read 'ok'. Single shuffle, keyed (row_id, claim), map-side
+    combined."""
     v = F.broadcast(spark_inline(spark, _FF_DIM_ROWS, _FF_DIM_COLS))
     cl = s.select(
         "row_id",
         F.explode(F.split(F.lower("claims"), ";")).alias("claim_raw"),
         _pad_col(F.coalesce(F.col("ingredients"), F.lit(""))).alias("pad"),
     ).select("row_id", F.trim("claim_raw").alias("claim"), "pad")
-    hits = (
-        cl.join(v, "claim")
-        .filter(F.instr(F.col("pad"), F.concat(F.lit(" "), F.col("token"), F.lit(" "))) > 0)
-        .groupBy("row_id", "claim")
-        .agg(F.min_by("token", "tok_idx").alias("conflict_token"))
-    )
+    hit = F.instr(F.col("pad"), F.concat(F.lit(" "), F.col("token"), F.lit(" "))) > 0
+    best = F.min(F.when(hit, F.struct("tok_idx", "token")))
     return (
-        cl.select("row_id", "claim")
-        .join(hits, ["row_id", "claim"], "left")
+        cl.join(v, "claim", "left")
+        .groupBy("row_id", "claim")
+        .agg(best.alias("best"))
         .select(
             "row_id",
             "claim",
-            F.when(F.col("conflict_token").isNull(), "ok")
+            F.when(F.col("best").isNull(), "ok")
             .otherwise("needs_review")
             .alias("status"),
-            F.coalesce("conflict_token", F.lit("")).alias("conflict_token"),
+            F.coalesce(F.col("best.token"), F.lit("")).alias("conflict_token"),
         )
     )
 
@@ -977,28 +986,8 @@ def free_from_bulk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     module import: the path is deterministic, so the SQL embeds it)."""
     _ensure_catalog(spark)
     s = spark.read.parquet(_catalog_path())
-    v = F.broadcast(spark_inline(spark, _FF_DIM_ROWS, _FF_DIM_COLS))
-    cl = s.select(
-        "row_id",
-        F.explode(F.split(F.lower("claims"), ";")).alias("claim_raw"),
-        _pad_col(F.coalesce(F.col("ingredients"), F.lit(""))).alias("pad"),
-    ).select("row_id", F.trim("claim_raw").alias("claim"), "pad")
-    hits = (
-        cl.join(v, "claim")
-        .filter(F.instr(F.col("pad"), F.concat(F.lit(" "), F.col("token"), F.lit(" "))) > 0)
-        .groupBy("row_id", "claim")
-        .agg(F.min_by("token", "tok_idx").alias("conflict_token"))
-    )
     return (
-        cl.select("row_id", "claim")
-        .join(hits, ["row_id", "claim"], "left")
-        .select(
-            "claim",
-            F.when(F.col("conflict_token").isNull(), "ok")
-            .otherwise("needs_review")
-            .alias("status"),
-            F.coalesce("conflict_token", F.lit("")).alias("conflict_token"),
-        )
+        _free_from_screen(spark, s)
         .groupBy("claim", "status", "conflict_token")
         .agg(F.count(F.lit(1)).alias("n_products"))
     )
@@ -1007,3 +996,101 @@ def free_from_bulk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pqc.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["free_from_bulk_screen"].oracle = _ff_bulk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 9. Gluten-Free contextual check (prompts.py:1483-1508)
+# ---------------------------------------------------------------------------
+
+# "Examples of gluten-containing ingredients" list from the prompt;
+# 'malt extract' is covered by the 'malt' token (word-boundary)
+GLUTEN_TOKENS = ["wheat", "rye", "barley", "oats", "spelt", "kamut",
+                 "triticale", "malt", "semolina", "farro"]
+# modifier phrases that clearly negate gluten content for THAT entry
+GLUTEN_NEGATORS = ["gluten free", "gluten removed"]
+
+_GC_COLS = ["row_id", "ingredients"]
+GLUTEN_CTX_FIXTURE = [
+    (1, "Gluten free oats, honey, salt"),            # negated → Pass
+    (2, "Oats, honey, salt"),                        # plain oats → Fail
+    (3, "Barley malt extract (gluten removed), sugar"),  # negated
+    (4, "Wheat flour, water, yeast"),                # Fail
+    (5, "Rice flour, tapioca starch, xanthan gum"),  # clean → Pass
+    # negation binds to ITS entry only: the wheat entry still fails
+    (6, "Gluten free oats, wheat starch"),
+    (7, "Spelt and farro blend, olive oil"),         # two conflicts, one entry
+    (8, "Certified gluten free oat flour"),          # negated
+    (9, None),                                       # null → Pass (nothing to flag)
+]
+
+_gc_seg_pad = _pad_sql("seg")
+_GC_ORACLE = f"""
+WITH {values_cte(GLUTEN_CTX_FIXTURE, _GC_COLS, 's')},
+segs AS (
+  SELECT row_id, trim(unnest(string_split(COALESCE(ingredients, ''), ','))) AS seg
+  FROM s
+),
+ev AS (
+  SELECT row_id, seg,
+         {_any_tok_sql(_gc_seg_pad, GLUTEN_TOKENS)} AS has_gluten,
+         ({" OR ".join(f"instr(lower(seg), '{p}') > 0" for p in GLUTEN_NEGATORS)})
+           AS negated
+  FROM segs WHERE length(seg) > 0
+),
+conf AS (
+  SELECT row_id, string_agg(lower(seg), '; ' ORDER BY lower(seg)) AS conflicts,
+         COUNT(*) AS n_conflicts
+  FROM ev WHERE has_gluten AND NOT negated GROUP BY row_id
+)
+SELECT s.row_id,
+       COALESCE(c.n_conflicts, 0) AS n_conflicts,
+       COALESCE(c.conflicts, '') AS conflicts,
+       CASE WHEN c.row_id IS NULL THEN 'Pass' ELSE 'Fail' END AS overall
+FROM s LEFT JOIN conf c ON c.row_id = s.row_id
+"""
+
+
+@register("gluten_contextual_check", oracle=_GC_ORACLE)
+def gluten_contextual_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gluten-Free CONTEXTUAL check (`prompts.py:1483-1508`), the
+    deterministic core of the modifier rule: an ingredient entry with a
+    gluten token is flagged UNLESS that same entry carries an explicit
+    negating modifier ('gluten free oats', 'barley malt extract
+    (gluten removed)') — negation binds per-entry, so 'gluten free
+    oats, wheat starch' still fails on the wheat entry. Conflicts are
+    reported per SKU (sorted, '; '-joined) with the Pass/Fail overall.
+    Pure Catalyst: explode on commas, word-boundary token scan,
+    conditional aggregation — one shuffle keyed on row_id."""
+    s = spark_inline(spark, GLUTEN_CTX_FIXTURE, _GC_COLS)
+    segs = s.select(
+        "row_id",
+        F.explode(F.split(F.coalesce("ingredients", F.lit("")), ",")).alias("seg0"),
+    ).select("row_id", F.trim("seg0").alias("seg"))
+    segs = segs.filter(F.length("seg") > 0)
+    pad = _pad_col(F.col("seg"))
+    neg = F.lit(False)
+    for p in GLUTEN_NEGATORS:
+        neg = neg | (F.instr(F.lower("seg"), p) > 0)
+    flagged = _any_tok(pad, GLUTEN_TOKENS) & ~neg
+    conf = (
+        segs.filter(flagged)
+        .groupBy("row_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.lower("seg"))), "; ").alias(
+                "conflicts"
+            ),
+            F.count(F.lit(1)).alias("n_conflicts"),
+        )
+    )
+    return (
+        s.select("row_id")
+        .join(conf, "row_id", "left")
+        .select(
+            "row_id",
+            F.coalesce("n_conflicts", F.lit(0)).alias("n_conflicts"),
+            F.coalesce("conflicts", F.lit("")).alias("conflicts"),
+            F.when(F.col("conflicts").isNull(), "Pass").otherwise("Fail").alias(
+                "overall"
+            ),
+        )
+    )

@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     "product_name_variant",
     "audit_nutritionals_scan",
     "gelatin_source_classify",
+    "gluten_contextual_check",
     "nutrient_per100g_extract",
     "free_from_bulk_screen",
     "streaming_windowed_rollup",
