@@ -49,6 +49,9 @@ HEADLINE_QUERIES = (
     "competitor_topk_match",
     "event_value_pivot",
     "npm_hfss_score",
+    "free_from_bulk_screen",
+    "streaming_windowed_rollup",
+    "media_decode_features",
 )
 
 

@@ -454,9 +454,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     ).tolist()
     luts = {key: _lut16(tab) for key, tab in htabs.items()}
 
-    out_ci: list[int] = []
-    out_blk: list[int] = []
-    out_k: list[int] = []
+    # coefficients land in two flat lists: a linear index into the
+    # (3, n_blocks, 64) tensor (base precomputed per block-component)
+    # and the value — the entropy loop is the hot path, so each
+    # coefficient costs exactly two list appends
+    out_idx: list[int] = []
     out_v: list[int] = []
     pred = [0, 0, 0]
     bp = 0  # bit position
@@ -466,6 +468,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         for fidx, dc_tid, ac_tid, _qsel in scan_sel:
             dsym, dlen = luts[(0, dc_tid)]
             asym, alen = luts[(1, ac_tid)]
+            base = (fidx * n_blocks + blk) << 6
             byte = bp >> 3
             sh = bp & 7
             peek = (w32[byte] >> (16 - sh)) & 0xFFFF
@@ -483,9 +486,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             else:
                 diff = 0
             pred[fidx] += diff
-            out_ci.append(fidx)
-            out_blk.append(blk)
-            out_k.append(0)
+            out_idx.append(base)
             out_v.append(pred[fidx])
             k = 1
             while k < 64:
@@ -512,9 +513,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 sh = bp & 7
                 v = (w32[byte] >> (32 - sh - size)) & ((1 << size) - 1)
                 bp += size
-                out_ci.append(fidx)
-                out_blk.append(blk)
-                out_k.append(k)
+                out_idx.append(base + k)
                 out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
                 k += 1
     if bp > total_bits:
@@ -522,7 +521,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     # --- batched dequantization + IDCT over all blocks per component ---
     coeffs = np.zeros((3, n_blocks, 64), dtype=np.float64)
-    coeffs[out_ci, out_blk, out_k] = out_v
+    coeffs.reshape(-1)[np.array(out_idx, dtype=np.int64)] = out_v
     planes: list[np.ndarray | None] = [None] * 3
     for fidx, _dc_tid, _ac_tid, qsel in scan_sel:
         blocks = coeffs[fidx][:, _UNZZ].reshape(-1, 8, 8) * qtabs[qsel]
