@@ -120,6 +120,7 @@ DRIVER_PRIORITY: list[str] = [
     "nutrient_per100g_extract",
     "free_from_bulk_screen",
     "streaming_windowed_rollup",
+    "streaming_stateful_dedup",
     # -- r2 red row (quantile parity fixed in r3) + the images family
     "images_partition_stats",
     "images_suite_verdicts",
@@ -199,6 +200,6 @@ def _load_modules() -> None:
         similarity,
         text,
     )
-    from pqc.streaming import windowed  # noqa: F401
+    from pqc.streaming import stateful, windowed  # noqa: F401
 
     _LOADED = True

@@ -78,3 +78,56 @@ def streaming_uniqueness_violations(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver surface: the stateful operator run to completion over the
+# images fixture, with a full DuckDB oracle — first-wins across
+# micro-batches is SQL-expressible as "every row except min(seq) per
+# duplicated image_id" (batch order cannot change the winner: an id's
+# rows share a partition file, and within a batch the transition sorts
+# by seq).
+# ---------------------------------------------------------------------------
+
+
+def _stateful_oracle() -> str:
+    from pqc.image_queries import _meta_glob
+
+    return f"""
+WITH m AS (SELECT image_id, seq FROM {_meta_glob()}),
+g AS (
+  SELECT image_id, MIN(seq) AS first_seq, COUNT(*) AS n
+  FROM m GROUP BY image_id
+)
+SELECT m.image_id, m.seq,
+       'uniqueness:image_id' AS constraint,
+       'duplicate of first seq=' || CAST(g.first_seq AS VARCHAR) AS detail
+FROM m JOIN g ON g.image_id = m.image_id
+WHERE g.n > 1 AND m.seq <> g.first_seq
+"""
+
+
+def _register_driver_query() -> None:
+    from pqc.registry import register
+
+    @register("streaming_stateful_dedup", oracle=_stateful_oracle())
+    def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """applyInPandasWithState cross-batch uniqueness, driven to
+        completion over the partitioned images fixture four files per
+        micro-batch (4 batches over 16 part files — state genuinely
+        crosses batch boundaries). The oracle recomputes first-wins relationally
+        from the payload-free meta projection."""
+        from pqc.fixtures import cached_images_path
+        from pqc.image_queries import FIXTURE_ROWS, _ensure_meta_parquet
+        from pqc.streaming.windowed import run_to_completion
+
+        _ensure_meta_parquet(spark, FIXTURE_ROWS)
+        path = cached_images_path(spark, FIXTURE_ROWS)
+        out = run_to_completion(
+            streaming_uniqueness_violations(spark, path, max_files_per_trigger=4),
+            "pqc_stateful_dedup",
+        )
+        return out.localCheckpoint(eager=True).orderBy("image_id", "seq")
+
+
+_register_driver_query()
