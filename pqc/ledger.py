@@ -11,8 +11,11 @@ already appears in the ledger — same semantics as the reference's
 distributed engine can checkpoint atomically.
 
 The fingerprint is an order-independent content hash (sum of per-row
-crc32 over the identity columns), so a partition whose *data* changed
-— not just its row count — re-validates.
+32-bit folds of the portable md5 hash over the identity columns), so a
+partition whose *data* changed — not just its row count —
+re-validates. Using pqc/exprs.hash64 instead of crc32 makes the
+fingerprint engine-portable: the DuckDB oracle reproduces it exactly
+(`ledger_partition_fingerprints` driver query).
 
 Scope: partition-local constraints only. Cross-partition (global)
 constraints — near-duplicate detection, table-level drift — cannot be
@@ -49,9 +52,13 @@ def partition_fingerprints(images: DataFrame) -> DataFrame:
     proxies — hashing the payload would force a second full binary
     scan, which the single-bytes-scan invariant forbids.
     """
+    from pqc.exprs import hash64
+
     # every field coalesced: concat_ws SKIPS nulls, so an un-coalesced
-    # null would make e.g. (w=NULL,h=300) and (w=300,h=NULL) collide
-    row_fp = F.crc32(
+    # null would make e.g. (w=NULL,h=300) and (w=300,h=NULL) collide.
+    # hash64 folded to 32 bits: portable across engines, and the
+    # per-partition SUM stays far from bigint overflow (n_rows × 2^32).
+    row_fp = hash64(
         F.concat_ws(
             "|",
             F.col("image_id"),
@@ -61,7 +68,7 @@ def partition_fingerprints(images: DataFrame) -> DataFrame:
             F.coalesce(F.col("caption"), F.lit("∅")),
             F.coalesce(F.col("phash").cast("string"), F.lit("∅")),
         )
-    )
+    ).bitwiseAND(F.lit(0xFFFFFFFF))
     return images.groupBy("part").agg(
         F.sum(row_fp).alias("input_fingerprint"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -134,3 +141,50 @@ def run_with_resume(
     )
     ledger_rows.write.mode("append").parquet(ledger_path)
     return result, sorted(skipped)
+
+
+# ---------------------------------------------------------------------------
+# Driver surface: the resume layer's core computation, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _fp_oracle() -> str:
+    from pqc.exprs import hash64_sql_duckdb
+    from pqc.image_queries import _meta_glob
+
+    concat = (
+        "concat_ws('|', image_id, "
+        "COALESCE(CAST(w AS VARCHAR), '∅'), "
+        "COALESCE(CAST(h AS VARCHAR), '∅'), "
+        "COALESCE(fmt, '∅'), COALESCE(caption, '∅'), "
+        "COALESCE(CAST(phash AS VARCHAR), '∅'))"
+    )
+    return f"""
+SELECT part,
+       SUM({hash64_sql_duckdb(concat)} & 4294967295) AS input_fingerprint,
+       COUNT(*) AS n_rows
+FROM {_meta_glob()}
+GROUP BY part
+"""
+
+
+def _register_driver_query() -> None:
+    from pqc.registry import register
+
+    @register("ledger_partition_fingerprints", oracle=_fp_oracle())
+    def ledger_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The resumable-run ledger's partition fingerprint table
+        (part, input_fingerprint, n_rows) over the images fixture —
+        the exact values run_with_resume skips on. Order-independent
+        (SUM of per-row folds) and engine-portable, so the DuckDB
+        oracle recomputes the identical bigints from the payload-free
+        meta projection."""
+        from pqc.fixtures import cached_images_path
+        from pqc.image_queries import FIXTURE_ROWS, _ensure_meta_parquet
+
+        _ensure_meta_parquet(spark, FIXTURE_ROWS)
+        images = spark.read.parquet(cached_images_path(spark, FIXTURE_ROWS))
+        return partition_fingerprints(images).orderBy("part")
+
+
+_register_driver_query()

@@ -121,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "free_from_bulk_screen",
     "streaming_windowed_rollup",
     "streaming_stateful_dedup",
+    "ledger_partition_fingerprints",
     # -- r2 red row (quantile parity fixed in r3) + the images family
     "images_partition_stats",
     "images_suite_verdicts",
@@ -200,6 +201,7 @@ def _load_modules() -> None:
         similarity,
         text,
     )
+    from pqc import ledger  # noqa: F401
     from pqc.streaming import stateful, windowed  # noqa: F401
 
     _LOADED = True
