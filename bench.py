@@ -72,6 +72,13 @@ def main() -> None:
     from pqc.fixtures import cached_images_path, generate_image_dim
 
     images_path = cached_images_path(spark, BENCH_IMAGE_ROWS)
+    # warm the other one-off fixtures the headline queries read, so the
+    # timed loop measures the operators, not first-run fixture writes
+    from pqc.audit_packs import _ensure_catalog
+    from pqc.media import cached_media_table
+
+    _ensure_catalog(spark)
+    cached_media_table(spark)
 
     timings: dict[str, float] = {}
 

@@ -155,7 +155,7 @@ _FF_ORACLE = f"""
 WITH {values_cte(FREE_FROM_FIXTURE, _FF_COLS, 's')},
 {values_cte(_FF_DIM_ROWS, _FF_DIM_COLS, 'v')},
 cl AS (
-  SELECT row_id, trim(unnest(string_split(lower(claims), ';'))) AS claim,
+  SELECT DISTINCT row_id, trim(unnest(string_split(lower(claims), ';'))) AS claim,
          {_pad_sql("COALESCE(ingredients, '')")} AS pad
   FROM s
 ),
@@ -949,7 +949,7 @@ def _ff_bulk_oracle() -> str:
 WITH s AS (SELECT * FROM read_parquet('{_catalog_path()}/*.parquet')),
 {values_cte(_FF_DIM_ROWS, _FF_DIM_COLS, 'v')},
 cl AS (
-  SELECT row_id, trim(unnest(string_split(lower(claims), ';'))) AS claim,
+  SELECT DISTINCT row_id, trim(unnest(string_split(lower(claims), ';'))) AS claim,
          {_pad_sql("COALESCE(ingredients, '')")} AS pad
   FROM s
 ),
@@ -1021,6 +1021,7 @@ GLUTEN_CTX_FIXTURE = [
     (7, "Spelt and farro blend, olive oil"),         # two conflicts, one entry
     (8, "Certified gluten free oat flour"),          # negated
     (9, None),                                       # null → Pass (nothing to flag)
+    (10, "Gluten-free oats, honey"),                 # hyphenated modifier negates too
 ]
 
 _gc_seg_pad = _pad_sql("seg")
@@ -1033,7 +1034,7 @@ segs AS (
 ev AS (
   SELECT row_id, seg,
          {_any_tok_sql(_gc_seg_pad, GLUTEN_TOKENS)} AS has_gluten,
-         ({" OR ".join(f"instr(lower(seg), '{p}') > 0" for p in GLUTEN_NEGATORS)})
+         ({" OR ".join(f"instr({_gc_seg_pad}, ' {_norm_token(p)} ') > 0" for p in GLUTEN_NEGATORS)})
            AS negated
   FROM segs WHERE length(seg) > 0
 ),
@@ -1067,10 +1068,12 @@ def gluten_contextual_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.coalesce("ingredients", F.lit("")), ",")).alias("seg0"),
     ).select("row_id", F.trim("seg0").alias("seg"))
     segs = segs.filter(F.length("seg") > 0)
+    # negators scan the SAME punctuation-folded text as the tokens, so
+    # 'gluten-free oats' negates exactly like 'gluten free oats'
     pad = _pad_col(F.col("seg"))
     neg = F.lit(False)
     for p in GLUTEN_NEGATORS:
-        neg = neg | (F.instr(F.lower("seg"), p) > 0)
+        neg = neg | _has_tok(pad, p)
     flagged = _any_tok(pad, GLUTEN_TOKENS) & ~neg
     conf = (
         segs.filter(flagged)

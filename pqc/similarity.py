@@ -20,13 +20,17 @@ from pqc.registry import pin, register
 KNN_K = 10
 N_QUERIES = 10
 # K ≈ √n (22 ≈ √500) per the standard IVF sizing rule — measured on
-# this corpus vs K=8: avg candidates/query 64 → 22 AND recall@5
-# 0.20 → 0.88 (1-probe), 0.38 → 0.94 (2-probe): more anchors give
-# finer buckets that align with true neighborhoods, so the scan
-# shrinks while recall rises (table in BASELINE.md §ivf). At 10^12
-# rows: sample-train centroids, keep K ≈ √n, raise nprobe for recall.
+# this corpus vs K=8 with the query set DISJOINT from the centroid
+# set: avg candidates/query 63 → 22 (3× less verify work) at roughly
+# flat recall@5 (0.22 → 0.24 1-probe, 0.38 → 0.32 2-probe; table in
+# BASELINE.md §ivf). With untrained first-K-vector anchors, recall is
+# governed by nprobe and centroid training (ivf_multiprobe_topk runs a
+# Lloyd iteration), not K — K sets the cost. At 10^12 rows:
+# sample-train centroids, keep K ≈ √n, raise nprobe for recall.
 IVF_N_CENTROIDS = 22
-IVF_QUERY_LO, IVF_QUERY_HI = 8, 18
+# queries sit OUTSIDE [0, K): a query that is itself a centroid gets a
+# self-anchored bucket and inflates measured recall (r3 review catch)
+IVF_QUERY_LO, IVF_QUERY_HI = 30, 40
 
 _DEC = "decimal(28,12)"
 

@@ -4,10 +4,11 @@ The batch suite's uniqueness constraint needs global state, which the
 windowed module deliberately leaves to the batch/ledger path. This is
 the true streaming form: per-key state via ``applyInPandasWithState``
 (Arrow-batched grouped state, the Python analogue of
-flatMapGroupsWithState) remembering the first-seen ``seq`` per
-``image_id`` across micro-batches and flagging every later occurrence
-— first-wins semantics matching the batch dedupe keeper
-(`artwork_processing_warnings_advisory.py:240-249`).
+flatMapGroupsWithState) remembering the lowest ``seq`` per
+``image_id`` across micro-batches and flagging every other occurrence
+— min-seq-wins (eventual) semantics matching the batch dedupe keeper
+(`artwork_processing_warnings_advisory.py:240-249`), with retroactive
+emission of a provisional keeper when a lower seq arrives later.
 
 Scale notes: state is 16 bytes/key (first_seq, n_seen) managed by the
 state store (RocksDB-backed on a real cluster); the shuffle is the
@@ -28,28 +29,46 @@ VIOLATION_SCHEMA = "image_id string, seq long, constraint string, detail string"
 STATE_SCHEMA = "first_seq long, n_seen long"
 
 
+DUP_DETAIL = "duplicate image_id (kept lowest seq)"
+
+
 def _dedup_transition(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Eventual min-seq-wins: the keeper is the LOWEST seq ever seen
+    for the id, matching the batch dedupe keeper (lower seq wins,
+    `artwork_processing_warnings_advisory.py:240-249`). If a later
+    micro-batch delivers a lower seq than the provisional keeper, the
+    old keeper is retroactively emitted as a duplicate — so the final
+    output set is exactly "every row except min(seq)" REGARDLESS of
+    file/batch arrival order. That order-independence is what makes
+    the operator oracle-checkable (and correct on out-of-order
+    streams, where arrival-order first-wins would be nondeterministic).
+    """
     batch = [p for p in pdfs if len(p)]
     if not batch:
         return
     pdf = pd.concat(batch, ignore_index=True).sort_values("seq")
+    bmin = int(pdf["seq"].iloc[0])
     if state.exists:
         first_seq, n_seen = state.get
-        dup = pdf
+        if bmin < first_seq:
+            dup_seqs = [first_seq] + pdf["seq"].iloc[1:].tolist()
+            first_seq = bmin
+        else:
+            dup_seqs = pdf["seq"].tolist()
     else:
-        first_seq = int(pdf["seq"].iloc[0])
+        first_seq = bmin
         n_seen = 0
-        dup = pdf.iloc[1:]
+        dup_seqs = pdf["seq"].iloc[1:].tolist()
     state.update((first_seq, n_seen + len(pdf)))
-    if len(dup):
+    if dup_seqs:
         yield pd.DataFrame(
             {
                 "image_id": key[0],
-                "seq": dup["seq"].astype("int64"),
+                "seq": pd.Series(dup_seqs, dtype="int64"),
                 "constraint": "uniqueness:image_id",
-                "detail": f"duplicate of first seq={first_seq}",
+                "detail": DUP_DETAIL,
             }
         )
 
@@ -58,8 +77,9 @@ def streaming_uniqueness_violations(
     spark: SparkSession, images_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """readStream over an arriving images directory → stateful
-    first-wins duplicate detection across micro-batches. Emits the same
-    violation shape as the batch suite (plus the offending ``seq``)."""
+    min-seq-wins duplicate detection across micro-batches. Emits the
+    same violation shape as the batch suite (plus the offending
+    ``seq``)."""
     from pqc.fixtures import IMAGE_SCHEMA
 
     stream = (
@@ -82,11 +102,11 @@ def streaming_uniqueness_violations(
 
 # ---------------------------------------------------------------------------
 # Driver surface: the stateful operator run to completion over the
-# images fixture, with a full DuckDB oracle — first-wins across
-# micro-batches is SQL-expressible as "every row except min(seq) per
-# duplicated image_id" (batch order cannot change the winner: an id's
-# rows share a partition file, and within a batch the transition sorts
-# by seq).
+# images fixture, with a full DuckDB oracle. The transition's eventual
+# min-seq-wins semantics make the final output set exactly "every row
+# except min(seq) per duplicated image_id" for ANY micro-batch/file
+# arrival order — so the relational oracle is exact by construction,
+# not by an assumption about file layout.
 # ---------------------------------------------------------------------------
 
 
@@ -101,7 +121,7 @@ g AS (
 )
 SELECT m.image_id, m.seq,
        'uniqueness:image_id' AS constraint,
-       'duplicate of first seq=' || CAST(g.first_seq AS VARCHAR) AS detail
+       'duplicate image_id (kept lowest seq)' AS detail
 FROM m JOIN g ON g.image_id = m.image_id
 WHERE g.n > 1 AND m.seq <> g.first_seq
 """
@@ -114,9 +134,10 @@ def _register_driver_query() -> None:
     def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """applyInPandasWithState cross-batch uniqueness, driven to
         completion over the partitioned images fixture four files per
-        micro-batch (4 batches over 16 part files — state genuinely
-        crosses batch boundaries). The oracle recomputes first-wins relationally
-        from the payload-free meta projection."""
+        micro-batch (the 128 fixture files make ~32 batches — state
+        genuinely crosses batch boundaries). The oracle recomputes the
+        all-but-min(seq) set relationally from the payload-free meta
+        projection."""
         from pqc.fixtures import cached_images_path
         from pqc.image_queries import FIXTURE_ROWS, _ensure_meta_parquet
         from pqc.streaming.windowed import run_to_completion

@@ -153,3 +153,16 @@ def test_driver_priority_names_all_resolve():
     assert not dead, f"DRIVER_PRIORITY names not in REGISTRY: {sorted(dead)}"
     dupes = [n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1]
     assert not dupes, f"duplicate DRIVER_PRIORITY entries: {dupes}"
+
+
+def test_free_from_bulk_plan_broadcasts_vocab_no_smj(spark):
+    """The bulk free-from screen must stay scan → explode → BROADCAST
+    vocab join → hash aggregations: a sort-merge join here means the
+    conditional-MIN restructure regressed to a hits-subquery join."""
+    from pqc.registry import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["free_from_bulk_screen"].fn(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]

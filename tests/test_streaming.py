@@ -89,13 +89,13 @@ def test_stateful_dedup_flags_cross_batch_duplicates(spark, tmp_path):
 
     now = _time.time()
     write_file("b1.parquet", [(1, "A"), (2, "B")], now - 100)
-    write_file("b2.parquet", [(3, "A"), (4, "C"), (5, "C")], now - 50)
+    # batch 2 re-sends A (higher seq → plain duplicate) and delivers a
+    # LOWER seq for B — the provisional keeper seq=2 must be
+    # retroactively flagged (eventual min-seq-wins)
+    write_file("b2.parquet", [(3, "A"), (0, "B"), (4, "C"), (5, "C")], now - 50)
 
     out = run_to_completion(
         streaming_uniqueness_violations(spark, str(src)), "stateful_dedup"
     ).collect()
-    flagged = {(r["image_id"], r["seq"]): r["detail"] for r in out}
-    assert set(flagged) == {("A", 3), ("C", 5)}
-    # the cross-batch duplicate references batch 1's keeper
-    assert flagged[("A", 3)] == "duplicate of first seq=1"
-    assert flagged[("C", 5)] == "duplicate of first seq=4"
+    flagged = {(r["image_id"], r["seq"]) for r in out}
+    assert flagged == {("A", 3), ("B", 2), ("C", 5)}
