@@ -106,13 +106,13 @@ WITH g AS (
   SELECT part,
          COUNT(*) AS n_rows,
          COUNT(DISTINCT image_id) AS n_distinct_image_id,
-         SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS n_null_w,
+         CAST(SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_w,
          MIN(w) AS min_w, MAX(w) AS max_w,
          {sorted_vals_sql('w')} AS aw,
-         SUM(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS n_null_h,
+         CAST(SUM(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_h,
          MIN(h) AS min_h, MAX(h) AS max_h,
          {sorted_vals_sql('h')} AS ah,
-         SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS n_null_caption
+         CAST(SUM(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_caption
   FROM {_meta_glob()}
   GROUP BY part
 )

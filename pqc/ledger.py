@@ -161,7 +161,7 @@ def _fp_oracle() -> str:
     )
     return f"""
 SELECT part,
-       SUM({hash64_sql_duckdb(concat)} & 4294967295) AS input_fingerprint,
+       CAST(SUM({hash64_sql_duckdb(concat)} & 4294967295) AS BIGINT) AS input_fingerprint,
        COUNT(*) AS n_rows
 FROM {_meta_glob()}
 GROUP BY part

@@ -268,7 +268,7 @@ def range_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
        {davg_sql('n_chars')} AS avg_chars,

@@ -22,6 +22,33 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_KINDS = {"i": "int", "u": "int", "f": "float", "b": "bool", "O": "object", "M": "datetime"}
+
+
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value-hash is sensitive to: int vs float vs bool vs object vs datetime.
+    DuckDB HUGEINT (SUM of BIGINT) surfaces in pandas as float64 while
+    Spark emits int64 — same values, different hash. This check makes
+    that class of drift fail locally (it shipped red twice: r2+r3)."""
+    return _KINDS.get(dtype.kind, dtype.kind)
+
+
+def assert_dtype_kinds_match(spk: pd.DataFrame, ora: pd.DataFrame, name: str = "") -> None:
+    for c in sorted(spk.columns):
+        sk, ok = dtype_kind(spk[c].dtype), dtype_kind(ora[c].dtype)
+        # A column that is entirely NULL is representation-free: pandas
+        # gives Spark object/None and DuckDB float64/NaN arbitrarily.
+        if spk[c].isna().all() and ora[c].isna().all():
+            continue
+        assert sk == ok, (
+            f"{name}: dtype-kind mismatch col={c}: spark={spk[c].dtype} ({sk}) "
+            f"oracle={ora[c].dtype} ({ok}) — the driver's value-hash is "
+            f"type-sensitive; cast the oracle output column (e.g. HUGEINT "
+            f"SUM -> CAST(... AS BIGINT))"
+        )
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -53,6 +80,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "") -> None:
         f"{name}: column mismatch spark={sorted(spk.columns)} oracle={sorted(ora.columns)}"
     )
     assert len(spk) == len(ora), f"{name}: row count spark={len(spk)} oracle={len(ora)}"
+    if len(spk):
+        assert_dtype_kinds_match(spk, ora[spk.columns], name=name)
     s = _normalize(spk)
     o = _normalize(ora)
     for c in s.columns:
