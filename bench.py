@@ -52,6 +52,7 @@ HEADLINE_QUERIES = (
     "free_from_bulk_screen",
     "streaming_windowed_rollup",
     "media_decode_features",
+    "images_relational_verdicts",
 )
 
 

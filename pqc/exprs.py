@@ -38,17 +38,17 @@ def hash64_sql_duckdb(expr: str) -> str:
 
 
 def minhash_perm(h: Column, a: int, b: int) -> Column:
-    """One MinHash permutation ``(a*h + b) mod p`` (p = 2^61-1).
+    """One MinHash permutation as ``h XOR salt`` (salt derived from
+    (a, b) via a golden-ratio multiply).
 
-    ``a``/``b`` must be < 2^30 so a*h stays within int128? No —
-    Spark/DuckDB BIGINT is 64-bit and a*h overflows. We therefore use
-    the split-multiply trick staying in 64 bits: with h < 2^60 and
-    a < 2^3 it would still overflow, so instead we permute via the
-    cheap XOR-with-constant + remultiply-free form:
-    ``(h XOR salt) % p`` where salt varies per permutation. XOR of a
-    uniform hash with a constant is itself uniform; min over XORed
-    hashes is a valid MinHash family (each salt induces a different
-    total order on shingle space).
+    The textbook ``(a*h + b) mod p`` family is unusable cross-engine:
+    with h < 2^60, the multiply overflows 64-bit BIGINT and Spark and
+    DuckDB wrap differently. XOR with a per-permutation constant stays
+    in 64 bits, is portable, and is a valid MinHash family: XOR of a
+    uniform hash with a constant is itself uniform, and each salt
+    induces a different total order on shingle space, so the min over
+    XORed hashes estimates Jaccard the same way (measured
+    recall/precision table in BASELINE.md §minhash).
     """
     salt = (a * 0x9E3779B97F4A7C15 + b) & ((1 << HASH_BITS) - 1)
     return F.lit(salt).bitwiseXOR(h)

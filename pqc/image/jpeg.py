@@ -153,7 +153,11 @@ def _unstuff_scan(data: bytes, pos: int) -> np.ndarray:
         raise ValueError("truncated JPEG scan")
     ff = np.where(buf[:-1] == 0xFF)[0]
     nxt = buf[ff + 1]
-    real = ff[nxt != 0x00]
+    # 0xFF 0x00 is a stuffed data byte; 0xFF 0xFF is a spec-legal fill
+    # byte padding up to a marker (T.81 B.1.1.2) — skip both when
+    # looking for the first real marker (own encoder emits no fills,
+    # but foreign baseline JPEGs may)
+    real = ff[(nxt != 0x00) & (nxt != 0xFF)]
     if len(real) == 0:
         raise ValueError("truncated JPEG scan (no trailing marker)")
     end = int(real[0])

@@ -5,8 +5,11 @@ seed 42 — FIXTURES.md). The metadata-level queries (partition stats,
 phash near-dup, drift, caption screen) ARE DuckDB-oracle-checked: the
 fixture's payload-free projection is written to a parquet path the
 oracle reads via read_parquet(), and each oracle mirrors the Spark
-semantics in portable SQL. Only the decode-island queries (suite
-verdicts / violation rows / integrity summary) have no oracle — their
+semantics in portable SQL. The relational slice of the suite
+(uniqueness / referential / range / fmt / caption) additionally has
+fully-oracled split queries (images_relational_violations /
+_verdicts), so only the decode-island rollups (suite verdicts /
+violation rows / integrity summary) remain rows-only — their
 row-level correctness gate lives in tests/test_image_island.py (exact
 violation-set parity against the anomaly schedule + pixel roundtrips
 vs the local reference decode).
@@ -234,9 +237,25 @@ def images_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(_images(spark)).orderBy("seq_a", "seq_b")
 
 
+# Degenerate slab: the healthy 2000-row fixture can never exceed the
+# production band cap (2000 members), so this query hash-matched on 0
+# rows in r3 — vacuous evidence. Both engines therefore append a
+# deterministic monochrome-like slab (constant phash, > cap members) so
+# the driver row checks the skew-guard's actual hot-bucket arithmetic.
+# Seqs start far outside the fixture range; the slab never feeds any
+# other query.
+_HOT_SLAB_ROWS = _BAND_CAP + 100
+_HOT_SLAB_PHASH = 0x1234567890AB
+_HOT_SLAB_SEQ0 = 10_000_000
+
 _HOT_BUCKETS_ORACLE = f"""
 WITH bp AS (SELECT * FROM (VALUES {_band_pair_values()}) AS bp(band_idx, bi, bj)),
-m AS (SELECT phash FROM {_meta_glob()} WHERE phash IS NOT NULL),
+m AS (
+  SELECT phash FROM {_meta_glob()} WHERE phash IS NOT NULL
+  UNION ALL
+  SELECT CAST({_HOT_SLAB_PHASH} AS BIGINT) AS phash
+  FROM generate_series(1, {_HOT_SLAB_ROWS})
+),
 bands AS (
   SELECT bp.band_idx,
          CAST(((phash >> (bi * 8)) & 255) * 256 + ((phash >> (bj * 8)) & 255)
@@ -254,10 +273,18 @@ def images_near_dup_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     that were diverted from the quadratic pair join (pqc/skew.py).
     Empty on a healthy corpus — rows here mean a phash-degenerate
     (e.g. monochrome) slice whose pairs were bounded away; their
-    identical-phash members are still grouped by the exact-dup layer."""
+    identical-phash members are still grouped by the exact-dup layer.
+    The corpus is the fixture plus a deterministic degenerate slab
+    (constant phash, > cap members) so the driver checks non-empty
+    output — all 28 band-pair buckets of the slab phash go hot."""
     from pqc.constraints.near_dup import hot_buckets
 
-    return hot_buckets(_images(spark)).orderBy("band_idx", "band_val")
+    slab = spark.range(_HOT_SLAB_ROWS).select(
+        (F.col("id") + _HOT_SLAB_SEQ0).alias("seq"),
+        F.lit(_HOT_SLAB_PHASH).cast("long").alias("phash"),
+    )
+    corpus = _images(spark).select("seq", "phash").unionByName(slab)
+    return hot_buckets(corpus).orderBy("band_idx", "band_val")
 
 
 @register("images_integrity_summary")
@@ -449,3 +476,102 @@ def images_banned_caption_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("canonical", "syn_type", "match_kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational slice of the suite, split out for DuckDB-oracled driver
+# evidence (r3 gap: the full suite rollups mix decode-gated constraints
+# — legitimately un-oraclable — with purely metadata-derivable ones;
+# this pair gives the relational slice a hash-checked twin, so only the
+# decode gates remain rows-only).
+# ---------------------------------------------------------------------------
+
+_REL_VIOLATIONS_SQL = f"""
+m AS (SELECT seq, image_id, part, w, h, fmt, caption FROM {_meta_glob()}),
+dim AS (SELECT DISTINCT image_id FROM m WHERE seq % 500 <> 3),
+dups AS (
+  SELECT image_id, COUNT(*) AS dup_count FROM m
+  GROUP BY image_id HAVING COUNT(*) > 1
+),
+v AS (
+  SELECT m.image_id, m.part, 'uniqueness:image_id' AS "constraint",
+         'key appears ' || dup_count || '×' AS detail
+  FROM m JOIN dups USING (image_id)
+  UNION ALL
+  SELECT image_id, part, 'referential:image_id->image_dim',
+         'image_id not present in image_dim'
+  FROM m WHERE image_id NOT IN (SELECT image_id FROM dim)
+  UNION ALL
+  SELECT image_id, part, 'range:w,h in [1,4096]',
+         concat_ws('×', CAST(w AS VARCHAR), CAST(h AS VARCHAR))
+  FROM m WHERE w IS NULL OR h IS NULL OR w < 1 OR w > 4096 OR h < 1 OR h > 4096
+  UNION ALL
+  SELECT image_id, part, 'domain:fmt', COALESCE(fmt, '<null>')
+  FROM m WHERE fmt IS NULL OR fmt NOT IN ('jpeg', 'lsy', 'png')
+  UNION ALL
+  SELECT image_id, part, 'not_null:caption', 'missing caption'
+  FROM m WHERE caption IS NULL OR length(trim(caption)) = 0
+)
+"""
+
+_REL_VIOL_ORACLE = f"""
+WITH {_REL_VIOLATIONS_SQL}
+SELECT image_id, part, "constraint", detail FROM v
+"""
+
+
+def _relational_suite_result(spark: SparkSession):
+    from pqc.constraints import SuiteContext
+    from pqc.engine import ValidationSuite
+    from pqc.fixtures import generate_image_dim
+
+    images = _images(spark)
+    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
+    res = ValidationSuite(
+        include_integrity=False, include_near_dup=False, include_text=False
+    ).run(ctx)
+    defer_release(res.release)
+    return res
+
+
+@register("images_relational_violations", oracle=_REL_VIOL_ORACLE)
+def images_relational_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-derivable slice of the failed-rows surface
+    (uniqueness / referential / range / fmt-domain / caption-null),
+    produced by the REAL suite runner (SuiteContext + ValidationSuite)
+    and hash-checked against a DuckDB twin over the payload-free meta
+    projection — the oracle re-derives each violation row including
+    its detail string. Decode-gated constraints stay in
+    images_violation_rows (rows-only by necessity)."""
+    res = _relational_suite_result(spark)
+    return res.violations.orderBy("constraint", "image_id")
+
+
+_REL_VERDICTS_ORACLE = f"""
+WITH {_REL_VIOLATIONS_SQL},
+parts AS (SELECT part, COUNT(*) AS n_checked FROM m GROUP BY part),
+names("constraint") AS (
+  VALUES ('uniqueness:image_id'), ('referential:image_id->image_dim'),
+         ('range:w,h in [1,4096]'), ('domain:fmt'), ('not_null:caption')
+),
+vc AS (
+  SELECT part, "constraint", COUNT(*) AS n_violations
+  FROM v GROUP BY part, "constraint"
+)
+SELECT p.part, n."constraint", p.n_checked,
+       COALESCE(vc.n_violations, 0) AS n_violations,
+       COALESCE(vc.n_violations, 0) = 0 AS passed
+FROM parts p CROSS JOIN names n
+LEFT JOIN vc ON vc.part = p.part AND vc."constraint" = n."constraint"
+"""
+
+
+@register("images_relational_verdicts", oracle=_REL_VERDICTS_ORACLE)
+def images_relational_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition verdict rollup (part, constraint, n_checked,
+    n_violations, passed) for the relational constraint slice — the
+    engine's north-rule surface with a full DuckDB twin (the oracle
+    recomputes every count and the pass boolean from the meta
+    projection)."""
+    res = _relational_suite_result(spark)
+    return res.verdicts.orderBy("part", "constraint")

@@ -292,11 +292,85 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(island, schema=FEATURE_SCHEMA)
 
 
-@register("media_decode_features")
+def _features_sidecar_path() -> str:
+    return f"/tmp/pqc_fixtures/media_features_n{N_MEDIA_ROWS}_v{_MEDIA_FIXTURE_VERSION}.parquet"
+
+
+def _ensure_features_sidecar() -> str:
+    """Single-node reference rederivation of the island's output,
+    written payload-free at fixture time: every payload is a pure
+    function of its index, so the expected features can be computed
+    OUTSIDE Spark (plain driver-side numpy over each row's bytes) and
+    the DuckDB oracle then checks that the distributed island (Arrow
+    batches, partitioned scan, per-task decode) reproduces the same
+    doubles bit-for-bit. Corrupt rows land as decode_ok=false with
+    null features, exactly like the island's strict error capture."""
+    import os
+
+    path = _features_sidecar_path()
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i in range(N_MEDIA_ROWS):
+            r = _media_row(i)
+            out = {
+                "media_id": r["media_id"],
+                "kind": r["kind"],
+                "part": r["part"],
+                "decode_ok": False,
+                "duration_sec": None,
+                "rms": None,
+                "zero_crossing_rate": None,
+                "n_frames_sampled": None,
+                "mean_luma": None,
+            }
+            try:
+                if r["kind"] == "audio":
+                    out.update(
+                        _audio_features(r["bytes"], r["sample_rate"], r["n_samples"])
+                    )
+                else:
+                    out.update(_video_features(r["bytes"], r["fps"], r["n_frames"]))
+                out["decode_ok"] = True
+            except Exception:
+                pass
+            rows.append(out)
+        schema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("kind", pa.string()),
+                ("part", pa.int32()),
+                ("decode_ok", pa.bool_()),
+                ("duration_sec", pa.float64()),
+                ("rms", pa.float64()),
+                ("zero_crossing_rate", pa.float64()),
+                ("n_frames_sampled", pa.int32()),
+                ("mean_luma", pa.float64()),
+            ]
+        )
+        cols = {k: [r[k] for r in rows] for k in rows[0]}
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema), path)
+    return path
+
+
+_FEATURES_ORACLE = f"""
+SELECT media_id, kind, part, decode_ok, duration_sec, rms,
+       zero_crossing_rate, n_frames_sampled, mean_luma
+FROM read_parquet('{_features_sidecar_path()}')
+"""
+
+
+@register("media_decode_features", oracle=_FEATURES_ORACLE)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-island features per media row (audio rms/zcr/duration
-    from real WAV PCM, video sampled-frame luma from real RVID frames)
-    — rows-only at the driver (the codec runs Python-side, so there is
-    no SQL oracle); determinism, exact roundtrips, corrupt-payload and
-    metadata-mismatch handling are pytest-gated (tests/test_media.py)."""
+    from real WAV PCM, video sampled-frame luma from real RVID frames).
+    Oracle: a known-answer sidecar parquet rederived single-node at
+    fixture time (_ensure_features_sidecar) — the driver hash then
+    proves the distributed island reproduces the reference decode
+    bit-for-bit, including decode_ok=false nulls for the corrupt
+    residues. Determinism, exact roundtrips, and metadata-mismatch
+    handling are additionally pytest-gated (tests/test_media.py)."""
+    _ensure_features_sidecar()
     return decode_features(cached_media_table(spark)).orderBy("media_id")

@@ -97,64 +97,64 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # appears, just later. r2-green queries displaced past slot 50 keep
 # their r2 artifact as evidence.
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked before r3: stats / ANN / media family
+    # -- r3 red rows, fixed in r4 (HUGEINT oracle-type bug) — must
+    #    produce hash-green driver evidence this round
     "column_stats_profile",
-    "quantile_profile",
-    "range_check_violations",
-    "knn_brute_force_cosine",
-    "ivf_ann_topk",
-    "ivf_multiprobe_topk",
+    "images_partition_stats",
+    "ledger_partition_fingerprints",
+    # -- new in r4: relational slice of the suite rollups (DuckDB twins)
+    "images_relational_violations",
+    "images_relational_verdicts",
+    # -- changed in r4: de-vacuated (seeded non-empty) near-dup rows,
+    #    trained-centroid IVF, sidecar-oracled media features
     "embedding_near_dup_pairs",
     "embedding_near_dup_bucketed",
-    "embedding_norm_stats",
-    "media_frame_sample_plan",
-    "media_decode_features",
-    # -- new in r3
-    "gluten_free_check",
-    "food_supplement_check",
-    "prohibited_marketplace_screen",
-    "product_name_variant",
-    "audit_nutritionals_scan",
-    "gelatin_source_classify",
-    "gluten_contextual_check",
-    "nutrient_per100g_extract",
-    "free_from_bulk_screen",
-    "streaming_windowed_rollup",
-    "streaming_stateful_dedup",
-    "ledger_partition_fingerprints",
-    # -- r2 red row (quantile parity fixed in r3) + the images family
-    "images_partition_stats",
-    "images_suite_verdicts",
-    "images_violation_rows",
-    "images_near_dup_pairs",
     "images_near_dup_hot_buckets",
-    "images_integrity_summary",
-    "images_drift_check",
-    "images_banned_caption_screen",
-    # -- r1-green, displaced from the r2 window
-    "q1_pricing_summary",
-    "market_segment_rollup",
-    "topk_orders_per_customer",
-    "top_brands_by_revenue",
-    "uniqueness_violations",
-    "referential_orphans",
-    # -- rotation of r2-green heavy operators (dedup / events / text)
-    "exact_dup_groups",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_dedup",
-    "simhash_fingerprint",
-    "simhash_near_dup_pairs",
-    "hourly_event_rollup",
-    "sessionization",
-    "asof_join_last_click",
-    "event_value_pivot",
-    "event_cube_rollup",
-    "ks_drift_statistic",
-    "token_count_stats",
-    "lang_id_confusion",
+    "ivf_ann_topk",
+    "ivf_multiprobe_topk",
+    "media_decode_features",
+    # -- the 29 r2-green queries displaced from the r3 window, rotated
+    #    back so every query is green in the r3∪r4 artifacts
     "quality_score",
     "doc_fingerprint",
     "competitor_topk_match",
+    "npm_hfss_score",
+    "per_serving_sanity",
+    "enumber_canonicalization",
+    "pack_size_parse",
+    "unit_normalization",
+    "ingredient_presence_map",
+    "fnv_accumulation",
+    "user_event_type_sets",
+    "max_by_selection",
+    "bbox_iou_merge",
+    "json_extraction",
+    "spelling_check",
+    "caffeine_age_restriction",
+    "vegan_flag_conflict",
+    "legal_category_format",
+    "daily_dose_extractor",
+    "nutrition_claim_detect",
+    "pmo_category_classify",
+    "methylated_vitamin_check",
+    "novel_food_screen",
+    "address_quality_score",
+    "claims_capped_ranking",
+    "html_strip",
+    "allergen_bold_check",
+    "medicinal_language_flag",
+    "shelf_label_validation",
+    # -- rotation of r3-green heavies to keep their evidence fresh
+    "images_near_dup_pairs",
+    "knn_brute_force_cosine",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "streaming_stateful_dedup",
+    "streaming_windowed_rollup",
+    "free_from_bulk_screen",
+    "gluten_contextual_check",
+    "sessionization",
 ]
 
 

@@ -21,12 +21,15 @@ KNN_K = 10
 N_QUERIES = 10
 # K ≈ √n (22 ≈ √500) per the standard IVF sizing rule — measured on
 # this corpus vs K=8 with the query set DISJOINT from the centroid
-# set: avg candidates/query 63 → 22 (3× less verify work) at roughly
-# flat recall@5 (0.22 → 0.24 1-probe, 0.38 → 0.32 2-probe; table in
-# BASELINE.md §ivf). With untrained first-K-vector anchors, recall is
-# governed by nprobe and centroid training (ivf_multiprobe_topk runs a
-# Lloyd iteration), not K — K sets the cost. At 10^12 rows:
-# sample-train centroids, keep K ≈ √n, raise nprobe for recall.
+# set: avg candidates/query 63 → 22 (3× less verify work). Both IVF
+# driver queries now run TRAINED (Lloyd-refined) centroids. Measured
+# recall (BASELINE.md §ivf): on the isotropic random testdata, recall
+# tracks the COVERAGE FRACTION regardless of training (the worst case
+# for any clustering index — there is no structure to exploit); on a
+# clustered corpus of the same size/dim, training is decisive
+# (recall@5 at 2-probe: 0.32 untrained → 0.70 at 1 Lloyd iter → 0.94
+# at 3 iters, at ~10% coverage). At 10^12 rows: sample-train with a
+# few Lloyd rounds, keep K ≈ √n, raise nprobe for recall.
 IVF_N_CENTROIDS = 22
 # queries sit OUTSIDE [0, K): a query that is itself a centroid gets a
 # self-anchored bucket and inflates measured recall (r3 review catch)
@@ -154,87 +157,8 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
     )
 
 
-_IVF_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
-              FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, cent.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
-                      (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-                       * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
-                      cent.centroid_id ASC
-           ) AS rk
-    FROM embeddings e CROSS JOIN cent
-  ) WHERE rk = 1
-),
-q AS (SELECT e.vec_id AS qid, e.embedding AS qe, a.centroid_id
-      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
-      WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}),
-bucket AS (SELECT e.vec_id AS cid, e.embedding AS ce, a.centroid_id
-           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id)
-SELECT qid, centroid_id, cid, ROUND(cos, 8) AS cosine, rk FROM (
-  SELECT q.qid, q.centroid_id, b.cid,
-         {_dot_sql('q.qe', 'b.ce')} /
-           (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce', 'b.ce')})) AS cos,
-         ROW_NUMBER() OVER (
-           PARTITION BY q.qid
-           ORDER BY {_dot_sql('q.qe', 'b.ce')} /
-             (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce', 'b.ce')})) DESC,
-             b.cid ASC
-         ) AS rk
-  FROM q JOIN bucket b ON q.centroid_id = b.centroid_id AND q.qid <> b.cid
-) WHERE rk <= 5
-"""
-
-
-@register("ivf_ann_topk", oracle=_IVF_ORACLE)
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbours: assign every vector to
-    its nearest of K ≈ √n deterministic centroids (the first K
-    vectors), then answer queries by searching only the query's bucket.
-
-    The scale story: assignment is a broadcast join against K
-    centroids (linear scan, no shuffle of embeddings beyond the
-    bucket-id attach); search joins bucket-mates on centroid_id — the
-    candidate set shrinks ~K× vs brute force. Same two-stage
-    screen→confirm shape as the reference prescreen (SURVEY §3.3).
-    """
-    emb = pin(_emb_with_norm(spark, sf_dir))
-    assign = pin(_ivf_assign(emb))
-    q = (
-        emb.join(assign, "vec_id")
-        .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("nq"),
-            "centroid_id",
-        )
-    )
-    bucket = emb.join(assign, "vec_id").select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("nc"),
-        "centroid_id",
-    )
-    scored = (
-        bucket.join(F.broadcast(q), "centroid_id")
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))
-        )
-    )
-    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        scored.select(
-            "qid", "centroid_id", "cid", "cos", F.row_number().over(wtop).alias("rk")
-        )
-        .filter(F.col("rk") <= 5)
-        .select("qid", "centroid_id", "cid", F.round("cos", 8).alias("cosine"), "rk")
-    )
+# (moved below EMB_DIM — the trained-centroid oracle needs
+# _TRAINED_CENT_SQL; see ivf_ann_topk)
 
 
 EMB_DIM = 64
@@ -309,34 +233,162 @@ SELECT qid, cid, ROUND(cos, 8) AS cosine, rk FROM (
 """
 
 
-def _lloyd_refined_centroids(emb: DataFrame) -> DataFrame:
-    """One Lloyd iteration from the deterministic seed centroids:
-    assign every vector (cosine argmax), then per-dimension decimal-
-    exact means → (centroid_id, ce, cn). The 100 TB version trains on a
-    sample with more rounds; the plan shape (broadcast assign → one
+def _lloyd_refined_centroids(emb: DataFrame, iters: int = 1) -> DataFrame:
+    """``iters`` Lloyd iterations from the deterministic seed
+    centroids: assign every vector (cosine argmax), then per-dimension
+    decimal-exact means → (centroid_id, ce, cn). The driver queries
+    pin iters=1 (the DuckDB oracle mirrors exactly one round); the
+    iteration count is the trained-quality dial — on a clustered
+    corpus, 3 rounds lift 2-probe recall@5 from 0.70 to 0.94
+    (BASELINE.md §ivf). The 100 TB version trains on a sample with
+    more rounds; the plan shape per round (broadcast assign → one
     posexplode aggregate, all map-side-combinable) is unchanged."""
-    assign0 = _ivf_assign(emb)
-    dims = (
-        emb.join(assign0, "vec_id")
-        .select("centroid_id", F.posexplode("embedding").alias("i", "val"))
-        .groupBy("centroid_id", "i")
-        .agg(
-            (
-                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast(
-                    "double"
+    cent = None  # round 0 assigns against the raw seed vectors
+    for _ in range(iters):
+        if cent is None:
+            assign = _ivf_assign(emb)
+        else:
+            wassign = W.partitionBy("vec_id").orderBy(
+                F.col("acos").desc(), F.col("centroid_id").asc()
+            )
+            assign = (
+                emb.crossJoin(F.broadcast(cent))
+                .withColumn(
+                    "acos",
+                    _dot(F.col("embedding"), F.col("ce"))
+                    / (F.col("nrm") * F.col("cn")),
                 )
-                / F.count(F.lit(1))
-            ).alias("v")
+                .select(
+                    "vec_id", "centroid_id", F.row_number().over(wassign).alias("rk")
+                )
+                .filter(F.col("rk") == 1)
+                .select("vec_id", "centroid_id")
+            )
+        dims = (
+            emb.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("i", "val"))
+            .groupBy("centroid_id", "i")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("v")
+            )
+        )
+        cent = (
+            dims.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("sv"))
+            .select(
+                "centroid_id",
+                F.transform("sv", lambda x: x["v"]).alias("ce"),
+            )
+            .withColumn("cn", F.sqrt(_norm2(F.col("ce"))))
+        )
+    return cent
+
+
+_IVF_ORACLE = f"""
+WITH {_TRAINED_CENT_SQL},
+scored_assign AS (
+  SELECT e.vec_id, cent.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
+                    (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                     * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
+                    cent.centroid_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent
+),
+bucket AS (
+  SELECT e.vec_id AS cid, e.embedding AS ce2, s.centroid_id
+  FROM embeddings e JOIN scored_assign s ON e.vec_id = s.vec_id AND s.rk = 1
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, s.centroid_id
+  FROM embeddings e JOIN scored_assign s ON e.vec_id = s.vec_id AND s.rk = 1
+  WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}
+)
+SELECT qid, centroid_id, cid, ROUND(cos, 8) AS cosine, rk FROM (
+  SELECT q.qid, q.centroid_id, b.cid,
+         {_dot_sql('q.qe', 'b.ce2')} /
+           (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce2', 'b.ce2')})) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_dot_sql('q.qe', 'b.ce2')} /
+             (sqrt({_dot_sql('q.qe', 'q.qe')}) * sqrt({_dot_sql('b.ce2', 'b.ce2')})) DESC,
+             b.cid ASC
+         ) AS rk
+  FROM q JOIN bucket b ON q.centroid_id = b.centroid_id AND q.qid <> b.cid
+) WHERE rk <= 5
+"""
+
+
+@register("ivf_ann_topk", oracle=_IVF_ORACLE)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours with TRAINED centroids,
+    single-probe: one Lloyd refinement of the deterministic seed
+    (r3 shipped untrained first-K-vector anchors — measured recall@5
+    was 0.24 at 1-probe, unusable; training is the fix, and the
+    decimal-exact per-dimension means keep both engines bit-identical),
+    vectors bucketed by nearest trained centroid, each query searches
+    only its own bucket.
+
+    The scale story: training runs on a sample (here the corpus),
+    assignment is a broadcast join against K ≈ √n centroids (linear
+    scan, no shuffle of embeddings beyond the bucket-id attach);
+    search joins bucket-mates on centroid_id — the candidate set
+    shrinks ~K× vs brute force. Same two-stage screen→confirm shape
+    as the reference prescreen (SURVEY §3.3). `ivf_multiprobe_topk`
+    adds the nprobe recall dial on the same trained index.
+    """
+    emb = pin(_emb_with_norm(spark, sf_dir))
+    cent = _lloyd_refined_centroids(emb)
+    wassign = W.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("centroid_id").asc()
+    )
+    assign = pin(
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "acos",
+            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
+        )
+        .select("vec_id", "centroid_id", F.row_number().over(wassign).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = (
+        emb.join(assign, "vec_id")
+        .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("nq"),
+            "centroid_id",
         )
     )
-    return (
-        dims.groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("sv"))
-        .select(
-            "centroid_id",
-            F.transform("sv", lambda x: x["v"]).alias("ce"),
+    bucket = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("nc"),
+        "centroid_id",
+    )
+    scored = (
+        bucket.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc"))
         )
-        .withColumn("cn", F.sqrt(_norm2(F.col("ce"))))
+    )
+    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select(
+            "qid", "centroid_id", "cid", "cos", F.row_number().over(wtop).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .select("qid", "centroid_id", "cid", F.round("cos", 8).alias("cosine"), "rk")
     )
 
 
@@ -409,8 +461,58 @@ def ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COS = 0.95
 NEAR_DUP_SCOPE = 300  # bounded pair-search scope for the oracle tier
 
+# Seeded near-duplicates: the raw `embeddings` testdata (500 random
+# unit vectors) contains NO pair with cos >= 0.95, so the near-dup
+# driver rows hash-matched on 0 rows in r3 — vacuous evidence (both
+# engines agreeing that nothing matches proves nothing about the pair
+# logic). Both engines therefore extend the corpus with deterministic
+# near-dup copies: for each seed id s, vector s+ND_COPY_OFFSET is the
+# seed's embedding shifted by +0.01 per element (cos ≈ 0.997 against
+# unit-norm seeds — above threshold, far from the boundary). Pure
+# IEEE-double arithmetic on identical inputs, so Spark and DuckDB
+# construct bit-identical vectors and the value hash stays exact.
+ND_SEED_IDS = (3, 41, 117, 188, 226, 299)  # all < NEAR_DUP_SCOPE
+ND_COPY_OFFSET = 10_000
+ND_PERTURB = 0.01
+
+_ND_SEED_LIST = ", ".join(str(s) for s in ND_SEED_IDS)
+
+# DuckDB twin of _augmented_embeddings (originals widened float->double
+# so both sides run the same double arithmetic)
+_AUG_EMB_SQL = f"""
+aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding, label
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {ND_COPY_OFFSET},
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) + CAST({ND_PERTURB} AS DOUBLE)),
+         label
+  FROM embeddings WHERE vec_id IN ({_ND_SEED_LIST})
+)
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-dup copies (see ND_SEED_IDS)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    copies = emb.filter(F.col("vec_id").isin(*ND_SEED_IDS)).select(
+        (F.col("vec_id") + ND_COPY_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(ND_PERTURB)
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(copies)
+
+
 _EMB_ND_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_SCOPE}),
+WITH {_AUG_EMB_SQL},
+e AS (SELECT vec_id, embedding FROM aug
+      WHERE vec_id < {NEAR_DUP_SCOPE} OR vec_id >= {ND_COPY_OFFSET}),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_dot_sql('a.embedding', 'b.embedding')} /
@@ -430,9 +532,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope here (oracle-checkable); the corpus-scale path is the IVF
     bucket prefilter (`ivf_ann_topk`): assign → pair only within
     buckets → exact-verify survivors, the same screen→confirm shape
-    as MinHash-LSH."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < NEAR_DUP_SCOPE
+    as MinHash-LSH. The corpus carries seeded near-dup copies (see
+    ND_SEED_IDS) so the driver row checks real pairs, not an empty
+    set — r3's 0-row hash match was vacuous evidence."""
+    emb = _augmented_embeddings(spark, sf_dir).filter(
+        (F.col("vec_id") < NEAR_DUP_SCOPE) | (F.col("vec_id") >= ND_COPY_OFFSET)
     )
     # norms once per vector, not once per pair (norm recompute made the
     # pair loop ~3× more expensive)
@@ -455,8 +559,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_ND_BUCKETED_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce
-              FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}),
+WITH {_AUG_EMB_SQL},
+cent AS (SELECT vec_id AS centroid_id, embedding AS ce
+         FROM aug WHERE vec_id < {IVF_N_CENTROIDS}),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, cent.centroid_id,
@@ -467,12 +572,12 @@ assign AS (
                        * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
                       cent.centroid_id ASC
            ) AS rk
-    FROM embeddings e CROSS JOIN cent
+    FROM aug e CROSS JOIN cent
   ) WHERE rk = 1
 ),
 side AS (
   SELECT e.vec_id, e.embedding, a.centroid_id
-  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  FROM aug e JOIN assign a ON e.vec_id = a.vec_id
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
@@ -499,8 +604,12 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, near-linearly in cluster balance); norms attach once per
     vector before the join. Recall trade: a pair straddling two
     centroids is missed — standard single-probe IVF semantics, and the
-    oracle mirrors the same bucketing so the contract is explicit."""
-    emb = _emb_with_norm(spark, sf_dir)
+    oracle mirrors the same bucketing so the contract is explicit.
+    Runs over the seeded-near-dup corpus (ND_SEED_IDS) so the driver
+    row checks real in-bucket pairs rather than an empty set."""
+    emb = _augmented_embeddings(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(_norm2(F.col("embedding")))
+    )
     assign = _ivf_assign(emb)
     # pinned: the assignment subplan (argmax window over decimal dots)
     # would otherwise recompute once per self-join side

@@ -93,6 +93,11 @@ def test_jpeg_roundtrip_real_codec():
     with pytest.raises(ValueError):
         decode(data[: len(data) // 2], "jpeg")
 
+    # spec-legal 0xFF fill bytes padding up to EOI (T.81 B.1.1.2) must
+    # be tolerated — foreign baseline JPEGs emit them
+    filled = data[:-2] + b"\xff\xff" + data[-2:]
+    assert np.array_equal(decode(filled, "jpeg"), out)
+
 
 def test_phash_near_vs_far():
     a = pixels_for(9)

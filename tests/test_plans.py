@@ -153,6 +153,13 @@ def test_driver_priority_names_all_resolve():
     assert not dead, f"DRIVER_PRIORITY names not in REGISTRY: {sorted(dead)}"
     dupes = [n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1]
     assert not dupes, f"duplicate DRIVER_PRIORITY entries: {dupes}"
+    # the driver checks only the FIRST 50 queries() entries — a longer
+    # list silently drops its tail outside the CORRECTNESS window
+    # (caught by review in r3: 53 entries left 3 queries unchecked)
+    assert len(DRIVER_PRIORITY) == 50, (
+        f"DRIVER_PRIORITY must allocate exactly the driver's 50-row "
+        f"window, got {len(DRIVER_PRIORITY)}"
+    )
 
 
 def test_free_from_bulk_plan_broadcasts_vocab_no_smj(spark):
