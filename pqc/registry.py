@@ -144,6 +144,9 @@ DRIVER_PRIORITY: list[str] = [
     "allergen_bold_check",
     "medicinal_language_flag",
     "shelf_label_validation",
+    # -- new r4 operators (transitive clustering, tf-idf salience)
+    "near_dup_clusters",
+    "tfidf_top_terms",
     # -- rotation of r3-green heavies to keep their evidence fresh
     "images_near_dup_pairs",
     "knn_brute_force_cosine",
@@ -153,8 +156,6 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stateful_dedup",
     "streaming_windowed_rollup",
     "free_from_bulk_screen",
-    "gluten_contextual_check",
-    "sessionization",
 ]
 
 

@@ -7,6 +7,7 @@ fingerprinting) plus the reference's normalisation machinery
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pqc.exprs import davg_sql, hash64, hash64_sql_duckdb
@@ -205,3 +206,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     return docs.select("doc_id", hash64(norm_text(F.col("text"))).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style salient terms (exact-arithmetic ranking)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS term
+  FROM documents WHERE {_NONEMPTY}
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT doc_id, term, tf, df, ROUND(CAST(tf AS DOUBLE) / df, 8) AS score, rk
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / dfc.df DESC, tf.term ASC
+         ) AS rk
+  FROM tf JOIN dfc USING (term)
+)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient terms per document ranked by tf/df — the
+    rare-term salience ranking TF-IDF induces, with the logarithm
+    dropped so the score is a single exact double division (ln()
+    differs between engines in the last ulp, and for a PER-DOCUMENT
+    ranking tf·ln(N/df) and tf/df order differently only when two
+    terms tie on tf AND nearly tie on df — the deterministic
+    (score desc, term asc) tie-break pins those).
+
+    Plan: two map-side-combined aggregates (tf per (doc, term); df per
+    term), one equi-join on term (vocab-sized right side — broadcast
+    when it fits, shuffle join at corpus scale), one rank window
+    partitioned by doc_id. Nothing leaves the JVM. The document-
+    frequency join is the inverted-index shape every downstream
+    salience/keyword extractor at 10^12 rows uses."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfc, "term")
+        .select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") / F.col("df"), 8).alias("score"),
+            "rk",
+        )
+    )

@@ -197,3 +197,29 @@ def test_quantile_exact_matches_rational_reference(vals, q):
         f"SELECT {quantile_exact_sql(arr_sql, q)} AS v"
     ).fetchone()[0]
     assert got == expected, (vals, q, got, expected)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Hash-to-min label propagation must converge transitively on a
+    path graph (A-B-C-D-E collapses to one cluster labelled A — needs
+    multiple rounds, not one) and leave islands as singletons."""
+    from pqc.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], "doc_id string"
+    )
+    chain = [(f"d{i}", f"d{i+1}") for i in range(4)]  # d0..d4 path
+    pair = [("d5", "d6")]
+    edges_one_way = chain + pair  # d7 isolated
+    edges = spark.createDataFrame(
+        edges_one_way + [(b, a) for a, b in edges_one_way], "src string, dst string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {
+        "d0": "d0", "d1": "d0", "d2": "d0", "d3": "d0", "d4": "d0",
+        "d5": "d5", "d6": "d5",
+        "d7": "d7",
+    }
