@@ -53,6 +53,9 @@ HEADLINE_QUERIES = (
     "streaming_windowed_rollup",
     "media_decode_features",
     "images_relational_verdicts",
+    "near_dup_clusters",
+    "tfidf_top_terms",
+    "srp_lsh_near_dup",
 )
 
 

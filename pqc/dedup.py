@@ -564,10 +564,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         ptr = stepped.select(
             F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("parent")
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — eager=True would cost a second job per
+        # round (measured ~2× the loop's scheduling floor at toy scale)
         new_labels = (
             stepped.join(ptr, "cluster_id", "left")
             .select("doc_id", F.coalesce("parent", "cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.withColumnRenamed("cluster_id", "new_cid")

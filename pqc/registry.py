@@ -144,9 +144,11 @@ DRIVER_PRIORITY: list[str] = [
     "allergen_bold_check",
     "medicinal_language_flag",
     "shelf_label_validation",
-    # -- new r4 operators (transitive clustering, tf-idf salience)
+    # -- new r4 operators (transitive clustering, tf-idf salience,
+    #    SRP-LSH bucketed near-dup)
     "near_dup_clusters",
     "tfidf_top_terms",
+    "srp_lsh_near_dup",
     # -- rotation of r3-green heavies to keep their evidence fresh
     "images_near_dup_pairs",
     "knn_brute_force_cosine",
@@ -155,7 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_near_dup_pairs",
     "streaming_stateful_dedup",
     "streaming_windowed_rollup",
-    "free_from_bulk_screen",
 ]
 
 

@@ -150,29 +150,41 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): nearest of the K ≈ √n deterministic
-    centroids (the first K vectors). Broadcast join against K
-    centroids — a linear scan; the only shuffle is the per-vector
-    argmax window."""
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    wassign = W.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("centroid_id").asc()
-    )
+def _argmax_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): cosine-argmax assignment as a map-side-
+    combinable ``max_by`` AGGREGATE instead of a sort window — at
+    corpus scale a window over n×K scored rows costs shuffle + sort,
+    while max_by partial-combines inside each scan task and shuffles
+    one row per vector. Deterministic despite ties-in-cosine because
+    the ordering struct ends with the (unique) negated centroid_id —
+    the total order has no ties, matching the oracle's
+    ``ORDER BY acos DESC, centroid_id ASC`` row_number exactly."""
     return (
         emb.crossJoin(F.broadcast(cent))
         .withColumn(
             "acos",
             _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
         )
-        .select("vec_id", "centroid_id", F.row_number().over(wassign).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, struct(acos, -centroid_id))"
+            ).alias("centroid_id")
+        )
     )
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest of the K ≈ √n deterministic
+    centroids (the first K vectors). Broadcast join against K
+    centroids — a linear scan; the only shuffle is the per-vector
+    argmax aggregate (map-side combined, see _argmax_assign)."""
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    return _argmax_assign(emb, cent)
 
 
 # (moved below EMB_DIM — the trained-centroid oracle needs
@@ -266,22 +278,7 @@ def _lloyd_refined_centroids(emb: DataFrame, iters: int = 1) -> DataFrame:
         if cent is None:
             assign = _ivf_assign(emb)
         else:
-            wassign = W.partitionBy("vec_id").orderBy(
-                F.col("acos").desc(), F.col("centroid_id").asc()
-            )
-            assign = (
-                emb.crossJoin(F.broadcast(cent))
-                .withColumn(
-                    "acos",
-                    _dot(F.col("embedding"), F.col("ce"))
-                    / (F.col("nrm") * F.col("cn")),
-                )
-                .select(
-                    "vec_id", "centroid_id", F.row_number().over(wassign).alias("rk")
-                )
-                .filter(F.col("rk") == 1)
-                .select("vec_id", "centroid_id")
-            )
+            assign = _argmax_assign(emb, cent)
         dims = (
             emb.join(assign, "vec_id")
             .select("centroid_id", F.posexplode("embedding").alias("i", "val"))
@@ -364,19 +361,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = pin(_emb_with_norm(spark, sf_dir))
     cent = _lloyd_refined_centroids(emb)
-    wassign = W.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("centroid_id").asc()
-    )
-    assign = pin(
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "acos",
-            _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
-        )
-        .select("vec_id", "centroid_id", F.row_number().over(wassign).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    assign = pin(_argmax_assign(emb, cent))
     q = (
         emb.join(assign, "vec_id")
         .filter((F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI))
@@ -698,3 +683,165 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 8).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (sign-random-projection) bucketed near-dup — the
+# data-INDEPENDENT LSH alternative to the IVF (trained) bucketing above
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 16
+SRP_BANDS = 2  # 2 × 8-bit bands
+SRP_BAND_BITS = SRP_BITS // SRP_BANDS
+
+
+def _srp_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, derived from md5 so the
+    SAME literal constants are embedded in the Spark plan and the
+    DuckDB SQL — portability by construction (the MinHash XOR-salt
+    trick, applied to geometry). Components are k/1000 rationals: both
+    engines parse the identical decimal literal to the identical
+    double."""
+    import hashlib
+
+    planes = []
+    for i in range(SRP_BITS):
+        row = []
+        for j in range(EMB_DIM):
+            h = int(hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+_SRP_PLANES = _srp_planes()
+
+
+def _srp_code(v: Column) -> Column:
+    """16-bit SRP code: bit i = [dot(v, plane_i) > 0]. Projections use
+    the decimal-exact fold so the sign — and therefore every bucket —
+    is bit-identical across engines."""
+    bits = []
+    for i, row in enumerate(_SRP_PLANES):
+        plane = F.array(*[F.lit(c) for c in row])
+        bits.append(
+            F.when(_dot(v, plane) > 0, F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code
+
+
+def _srp_code_sql(v: str) -> str:
+    terms = []
+    for i, row in enumerate(_SRP_PLANES):
+        lit = "[" + ", ".join(repr(c) for c in row) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_sql(v, lit)} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_SRP_ND_ORACLE = f"""
+WITH {_AUG_EMB_SQL},
+sig AS (SELECT vec_id, embedding, {_srp_code_sql('embedding')} AS code FROM aug),
+bk AS (
+  SELECT vec_id, embedding, g.b AS band_idx,
+         (code >> (g.b * {SRP_BAND_BITS})) & {(1 << SRP_BAND_BITS) - 1} AS band_val
+  FROM sig, UNNEST(generate_series(0, {SRP_BANDS - 1})) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM bk a JOIN bk b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 8) AS cosine FROM (
+  SELECT id_a, id_b,
+         {_dot_sql('ea', 'eb')} /
+           (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')})) AS cos
+  FROM cand
+) WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+@register("srp_lsh_near_dup", oracle=_SRP_ND_ORACLE)
+def srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (cos ≥ 0.95) via sign-random-projection LSH —
+    the data-INDEPENDENT bucketing alternative to the IVF prefilter
+    (`embedding_near_dup_bucketed`): 16 fixed hyperplanes give a 16-bit
+    code whose per-bit disagreement probability is θ/π, banded 2×8 so
+    near-identical vectors (seeded pairs: θ ≈ 4.4°, P[8-bit band
+    clean] ≈ 0.89 each, P[miss both] ≈ 0.011) almost surely share a
+    band while random pairs (θ ≈ 90°) collide with P ≈ 2·2⁻⁸ ≈ 0.008.
+
+    IVF-vs-SRP trade at corpus scale: SRP needs no training and its
+    buckets are fixed-cost to compute (16 array folds per row, no
+    assignment join), but bucket occupancy follows the data's angular
+    distribution; IVF adapts buckets to the corpus (better candidate
+    efficiency on clustered data — see the coverage-law table in
+    BASELINE.md) at the price of sample-training. Candidates come from
+    an equi-join on (band_idx, band_val) — never all-pairs — and the
+    double-prescreen → decimal-confirm ladder prices the survivors."""
+    emb = _augmented_embeddings(spark, sf_dir)
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("nrm"),
+        _srp_code(F.col("embedding")).alias("code"),
+    )
+    bk = pin(
+        sig.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            (
+                                F.shiftright(F.col("code"), b * SRP_BAND_BITS)
+                                .bitwiseAND(F.lit((1 << SRP_BAND_BITS) - 1))
+                            ).alias("band_val"),
+                        )
+                        for b in range(SRP_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            "vec_id", "embedding", "nrm", "band.band_idx", "band.band_val"
+        )
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.withColumn(
+            "acos", _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("acos") >= NEAR_DUP_COS - PRESCREEN_EPS)
+        .withColumn("cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
