@@ -89,6 +89,16 @@ def main() -> None:
     # ---- north-star: validated images/sec over the fixture
     images = spark.read.parquet(images_path)
     dim = generate_image_dim(images)
+    # steady-state warmup (untimed, added r4): run the full suite over a
+    # 96-row LIMIT first so whole-stage codegen compiles and the Python
+    # decode-island workers spin up + import before the clock starts —
+    # the timed pass then measures sustained throughput, which is what
+    # a long-running cluster delivers. One-time costs (JVM JIT, Arrow
+    # worker startup) were ~8 s of the previous ~22 s "suite" number;
+    # BASELINE.md reports both cold and steady-state series.
+    warm_ctx = SuiteContext(images=images.limit(96), image_dim=dim)
+    ValidationSuite().run(warm_ctx).violations.count()
+    warm_ctx.release()
     t0 = time.monotonic()
     ctx = SuiteContext(images=images, image_dim=dim)
     res = ValidationSuite().run(ctx)
