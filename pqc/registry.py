@@ -149,14 +149,14 @@ DRIVER_PRIORITY: list[str] = [
     "near_dup_clusters",
     "tfidf_top_terms",
     "srp_lsh_near_dup",
+    "winnowing_fingerprints",
+    "bpe_token_stats",
     # -- rotation of r3-green heavies to keep their evidence fresh
-    "images_near_dup_pairs",
     "knn_brute_force_cosine",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "streaming_stateful_dedup",
-    "streaming_windowed_rollup",
 ]
 
 

@@ -198,10 +198,11 @@ FROM documents WHERE {_NONEMPTY}
 
 @register("doc_fingerprint", oracle=_FP_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint: portable 60-bit md5 hash of normalized text
-    (the cross-engine-deterministic stand-in for a rolling hash; see
-    pqc/exprs.py). The building block of exact dedup at 10^12 scale:
-    dedup shuffles 8-byte fingerprints, never the payloads."""
+    """Whole-document content fingerprint: portable 60-bit md5 hash of
+    normalized text (see pqc/exprs.py) — the building block of exact
+    dedup at 10^12 scale: dedup shuffles 8-byte fingerprints, never
+    the payloads. For partial-overlap detection see
+    `winnowing_fingerprints` (the rolling-hash window-min scheme)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
@@ -270,5 +271,148 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             F.round(F.col("tf").cast("double") / F.col("df"), 8).alias("score"),
             "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # words per gram (same granularity as the shingle bank)
+WINNOW_W = 4  # window: one fingerprint selected per w consecutive grams
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL.format(c='text')} AS t
+  FROM documents WHERE {_NONEMPTY}
+),
+grams AS (
+  SELECT doc_id, g.i AS i,
+         {hash64_sql_duckdb(f"array_to_string(t[i:i+{WINNOW_K - 1}], ' ')")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {WINNOW_K - 1})) AS g(i)
+  WHERE len(t) >= {WINNOW_K}
+),
+wmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+         ) AS fingerprint,
+         i,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+)
+SELECT DISTINCT doc_id, fingerprint
+FROM wmin WHERE i <= n - {WINNOW_W} + 1
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every word-k-gram in document order, slide a w-gram window,
+    keep the minimum hash per window, emit the distinct selected
+    hashes. The classic guarantee: any two documents sharing a run of
+    at least w+k-1 words share at least one fingerprint, while only
+    ~2/(w+1) of all gram hashes are kept — the storage/recall dial for
+    copy-detection at corpus scale.
+
+    Plan: one projection builds the ordered gram-hash table (the same
+    portable 60-bit hash as the shingle bank, so both engines agree
+    bitwise), one bounded-frame window min per document (sorted within
+    doc partitions only — no global sort), then distinct. At 10^12
+    docs the window never leaves its document, so this parallelizes
+    per-doc exactly like the shingle pipeline."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    t = tokens(F.col("text"))
+    grams = (
+        docs.filter(F.size(t) >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
+                    lambda i: F.array_join(F.slice(t, i, WINNOW_K), " "),
+                )
+            ).alias("i0", "gram"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), hash64(F.col("gram")).alias("h"))
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    cnt = W.partitionBy("doc_id")
+    fps = (
+        grams.select(
+            "doc_id",
+            "i",
+            F.min("h").over(win).alias("fingerprint"),
+            F.count(F.lit(1)).over(cnt).alias("n"),
+        )
+        .filter(F.col("i") <= F.col("n") - WINNOW_W + 1)
+        .select("doc_id", "fingerprint")
+        .dropDuplicates()
+    )
+    return fps
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (regex pre-tokenizer)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization approximated RE2-safe (the original
+# pattern uses lookahead, which the DuckDB/RE2 oracle cannot run):
+# letter runs | digit runs | non-alnum-non-space runs. On normalized
+# (lowercased) text this splits "don't stop 123x" into
+# [don, ', t, stop, 123, x] — the unit a byte-pair encoder would
+# further merge, so its count upper-bounds BPE token count far more
+# tightly than whitespace words do.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+_BPE_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len({TOKENS_SQL.format(c='text')}) AS n_ws,
+         len(regexp_extract_all({NORM_SQL.format(c='text')}, '{BPE_REGEX}')) AS n_bpe
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       {davg_sql('n_bpe')} AS avg_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_word
+FROM t GROUP BY lang
+"""
+
+
+@register("bpe_token_stats", oracle=_BPE_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-grade token counting: the whitespace count next to a
+    BPE-ish regex pre-tokenizer count (letter/digit/punctuation runs,
+    RE2-safe — see BPE_REGEX), per language. The bpe_per_word ratio is
+    the cost model every LLM-data pipeline needs before a real
+    tokenizer pass: token budgets, truncation planning, and corpus
+    pricing are all linear in it. Pure Catalyst regexp_extract_all —
+    no UDF, one low-cardinality shuffle."""
+    from pqc.exprs import davg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    norm = norm_text(F.col("text"))
+    n_ws = F.size(tokens(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_REGEX), F.lit(0)))
+    return (
+        docs.select("lang", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            davg(F.col("n_bpe")).alias("avg_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+            ).alias("bpe_per_word"),
         )
     )

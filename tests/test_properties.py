@@ -223,3 +223,41 @@ def test_connected_components_chain_and_islands(spark):
         "d5": "d5", "d6": "d5",
         "d7": "d7",
     }
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, width=32),
+        min_size=64, max_size=64,
+    ),
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, width=32),
+        min_size=64, max_size=64,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_prescreen_slack_bounds_double_fold_error(a, b):
+    """Soundness of the screen→confirm ladder (pqc/similarity.py): the
+    left-to-right float64 dot-product fold must never differ from the
+    exact rational dot by more than PRESCREEN_EPS (scaled by the norm
+    product), or the prescreen could drop a pair the decimal confirm
+    would accept."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from pqc.similarity import PRESCREEN_EPS
+
+    af = np.array(a, dtype=np.float32).astype(np.float64)
+    bf = np.array(b, dtype=np.float32).astype(np.float64)
+    # the engine's fold order: left-to-right double accumulation
+    acc = 0.0
+    for x, y in zip(af, bf):
+        acc += x * y
+    exact = sum(Fraction(x) * Fraction(y) for x, y in zip(af, bf))
+    na2 = sum(Fraction(x) * Fraction(x) for x in af)
+    nb2 = sum(Fraction(y) * Fraction(y) for y in bf)
+    denom = float(na2 * nb2) ** 0.5
+    if denom < 1e-6:  # near-zero vectors never reach the threshold path
+        return
+    assert abs(acc - float(exact)) / denom < PRESCREEN_EPS
