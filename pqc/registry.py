@@ -151,11 +151,11 @@ DRIVER_PRIORITY: list[str] = [
     "srp_lsh_near_dup",
     "winnowing_fingerprints",
     "bpe_token_stats",
+    "quantized_knn_topk",
     # -- rotation of r3-green heavies to keep their evidence fresh
     "knn_brute_force_cosine",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
-    "simhash_near_dup_pairs",
     "streaming_stateful_dedup",
 ]
 

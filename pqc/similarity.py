@@ -845,3 +845,126 @@ def srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_COS)
     )
     return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization + quantized kNN — the memory-bandwidth lever
+# ---------------------------------------------------------------------------
+
+QUANT_BITS_MAX = 127
+
+# Quantization rule, written as FLOOR(x + 0.5) on BOTH engines so no
+# engine-specific round-half semantics can drift: per-vector scale
+# s = maxabs/127, q_j = floor(v_j/s + 0.5) clipped to [-127, 127].
+# The quantized dot Σ q_a·q_b is INTEGER arithmetic — bit-exact on any
+# engine — and the rescale s_a·s_b·Σ is one double multiply.
+
+
+def _quantize(v: Column) -> Column:
+    """array<int> int8-range codes for an embedding (struct with its
+    double scale)."""
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    s = maxabs / QUANT_BITS_MAX
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-QUANT_BITS_MAX),
+            F.least(
+                F.lit(QUANT_BITS_MAX),
+                F.floor(x.cast("double") / s + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return F.struct(q.alias("q"), s.alias("s"))
+
+
+_QUANT_SQL = f"""
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> GREATEST(-{QUANT_BITS_MAX}, LEAST({QUANT_BITS_MAX},
+                CAST(FLOOR(CAST(x AS DOUBLE) / (list_max(list_transform(embedding,
+                     y -> abs(CAST(y AS DOUBLE)))) / {QUANT_BITS_MAX}) + 0.5) AS INT)))
+         ) AS q,
+         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+           / {QUANT_BITS_MAX} AS s
+  FROM embeddings
+"""
+
+_IQ_DOT_SQL = (
+    "(SELECT CAST(SUM(CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)) AS BIGINT)"
+    " FROM UNNEST(generate_series(1, len({a}))) AS g(i))"
+)
+
+_QKNN_ORACLE = f"""
+WITH qt AS ({_QUANT_SQL}),
+qry AS (SELECT vec_id AS qid, q AS qa, s AS sa FROM qt
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+cand AS (SELECT vec_id AS cid, q AS qb, s AS sb FROM qt),
+scored AS (
+  SELECT qid, cid,
+         {_IQ_DOT_SQL.format(a='qa', b='qb')} AS idot,
+         sa * sb AS ss
+  FROM qry JOIN cand ON qid <> cid
+)
+SELECT qid, cid, idot, ROUND(ss * idot, 8) AS qscore, rk FROM (
+  SELECT qid, cid, idot, ss,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ss * idot DESC, cid ASC
+         ) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register("quantized_knn_topk", oracle=_QKNN_ORACLE)
+def quantized_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbours by int8-quantized dot product — the memory-
+    bandwidth lever for 100 TB ANN: per-vector scalar quantization
+    (s = maxabs/127, floor(x/s + 0.5), clipped) shrinks the scanned
+    bytes 4× vs float32 and turns the inner loop into integer
+    multiply-adds; the rescale s_a·s_b·Σq_aq_b preserves ranking to
+    within quantization error (measured recall@5 vs the exact float
+    ranking in BASELINE.md §quant). Cross-engine exactness comes free:
+    the integer dot is bit-exact by construction (no decimal
+    accumulator needed — this is WHY production ANN quantizes), the
+    rounding rule is written as FLOOR(x+0.5) on both engines, and only
+    one double multiply touches floats. At corpus scale the quantized
+    codes are the stored/scanned representation; full-precision
+    vectors are fetched only to re-rank the top candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = emb.select("vec_id", _quantize(F.col("embedding")).alias("z")).select(
+        "vec_id", F.col("z.q").alias("q"), F.col("z.s").alias("s")
+    )
+    qry = qt.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select(F.col("vec_id").alias("qid"), F.col("q").alias("qa"), F.col("s").alias("sa"))
+    cand = qt.select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("qb"), F.col("s").alias("sb")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("idot", idot)
+        .withColumn("ss", F.col("sa") * F.col("sb"))
+    )
+    wtop = W.partitionBy("qid").orderBy(
+        (F.col("ss") * F.col("idot")).desc(), F.col("cid").asc()
+    )
+    return (
+        scored.select(
+            "qid", "cid", "idot", "ss", F.row_number().over(wtop).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid",
+            "cid",
+            "idot",
+            F.round(F.col("ss") * F.col("idot"), 8).alias("qscore"),
+            "rk",
+        )
+    )
