@@ -152,8 +152,8 @@ DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "bpe_token_stats",
     "quantized_knn_topk",
+    "streaming_sessionization",
     # -- rotation of r3-green heavies to keep their evidence fresh
-    "knn_brute_force_cosine",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "streaming_stateful_dedup",

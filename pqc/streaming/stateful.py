@@ -23,6 +23,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 VIOLATION_SCHEMA = "image_id string, seq long, constraint string, detail string"
@@ -152,3 +153,132 @@ def _register_driver_query() -> None:
 
 
 _register_driver_query()
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization (eventual per-user session summary)
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = "user_id long, n_events long, n_sessions long"
+SESSION_STATE_SCHEMA = "ts_list array<double>"
+
+
+def _session_transition(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Eventual sessionization: state accumulates EVERY event epoch seen
+    for the user; each invocation recomputes the session summary from
+    the full sorted set and re-emits it. A late event that bridges two
+    provisional sessions therefore CORRECTS the count on its arrival —
+    the emission with the highest n_events is the batch-exact answer
+    for any micro-batch arrival order (sessions are not suffix-stable,
+    so any "emit once and forget" scheme is order-dependent; keeping
+    the per-user epochs — 8 bytes/event in the state store, pruned by
+    a retention timeout in a production deployment — buys exactness)."""
+    import numpy as np
+
+    from pqc.events_ops import SESSION_GAP_SECONDS
+
+    batch = [p for p in pdfs if len(p)]
+    if not batch:
+        return
+    new_ts = pd.concat(batch, ignore_index=True)["ts_epoch"].to_numpy(dtype="float64")
+    if state.exists:
+        (prev,) = state.get
+        all_ts = np.concatenate([np.asarray(prev, dtype="float64"), new_ts])
+    else:
+        all_ts = new_ts
+    all_ts = np.sort(all_ts)
+    state.update((all_ts.tolist(),))
+    n_sessions = 1 + int((np.diff(all_ts) > SESSION_GAP_SECONDS).sum())
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(all_ts)],
+            "n_sessions": [n_sessions],
+        }
+    )
+
+
+def streaming_sessions(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over an arriving events directory → per-user session
+    summaries via applyInPandasWithState. Epochs are computed as
+    doubles BEFORE the keyed shuffle (identical to the batch/oracle
+    arithmetic, and the state transition never touches timestamp
+    dtypes)."""
+    from pqc.streaming.windowed import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return (
+        stream.select(
+            "user_id", F.col("ts").cast("timestamp").cast("double").alias("ts_epoch")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_transition,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _sessionization_oracle() -> str:
+    from pqc.events_ops import SESSION_GAP_SECONDS
+
+    return f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > {SESSION_GAP_SECONDS}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+def _register_session_query() -> None:
+    from pqc.registry import register
+
+    @register("streaming_sessionization", oracle=_sessionization_oracle())
+    def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The stateful streaming sessionizer driven to completion over
+        the events table one file per micro-batch, keeping only each
+        user's FINAL summary (max n_events — strictly increasing per
+        emission, so max_by is tie-free). Because the transition is
+        eventual (recompute-from-full-state), the final summaries equal
+        the batch sessionization for ANY arrival order, which is what
+        makes the DuckDB oracle exact rather than
+        trigger-layout-dependent."""
+        from pqc.streaming.windowed import run_to_completion, staged_events_dir
+
+        out = run_to_completion(
+            streaming_sessions(
+                spark, staged_events_dir(sf_dir, spark, n_files=8)
+            ),
+            "pqc_stream_sessions",
+        )
+        final = (
+            out.groupBy("user_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(n_events, n_sessions), n_events)"
+                ).alias("s")
+            )
+            .select("user_id", F.col("s.n_events"), F.col("s.n_sessions"))
+        )
+        return final.localCheckpoint(eager=True).orderBy("user_id")
+
+
+_register_session_query()

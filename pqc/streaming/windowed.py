@@ -90,29 +90,7 @@ def streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-checkable. Epoch-aligned 1-hour windows ≡
     date_trunc('hour'); totals are decimal-exact so micro-batch
     boundaries can't perturb the hash."""
-    # the file stream source requires a DIRECTORY; the testdata ships
-    # each table as one parquet file, so stage it (hard-link, falling
-    # back to copy) into a cached dir — production sources are already
-    # directories/tables. The stage key includes the source's identity
-    # (size + mtime) so a regenerated events.parquet or a same-basename
-    # sf dir from another checkout never serves a stale copy; it lives
-    # under /tmp/pqc_fixtures so the documented cache-reset ritual
-    # (delete that dir) clears it too.
-    import os
-    import shutil
-
-    src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
-    stage = f"/tmp/pqc_fixtures/stream_src_{key}"
-    staged = f"{stage}/events.parquet"
-    if not os.path.exists(staged):
-        os.makedirs(stage, exist_ok=True)
-        try:
-            os.link(src, staged)
-        except OSError:
-            shutil.copyfile(src, staged)
-    stream_df = windowed_event_counts(spark, stage)
+    stream_df = windowed_event_counts(spark, staged_events_dir(sf_dir))
     out = run_to_completion(stream_df, "pqc_stream_windowed", mode="complete")
     # copy out of the memory-sink table: a later query reusing the
     # queryName would otherwise swap results under the returned plan
@@ -168,6 +146,45 @@ def streaming_validation(spark: SparkSession, images_dir: str) -> DataFrame:
         "part",
         F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"),
     ).select("image_id", "part", "v.constraint", "v.detail")
+
+
+def staged_events_dir(
+    sf_dir: str, spark: SparkSession | None = None, n_files: int = 1
+) -> str:
+    """The file stream source requires a DIRECTORY; the testdata ships
+    each table as one parquet file, so stage it (hard-link, falling
+    back to copy) into a cached dir — production sources are already
+    directories/tables. With ``n_files > 1`` (requires ``spark``) the
+    table is rewritten as that many files so a 1-file-per-trigger
+    stream genuinely crosses micro-batch boundaries — the stateful
+    operators' cross-batch state is otherwise exercised by a single
+    batch. The stage key includes the source's identity (size + mtime)
+    so a regenerated events.parquet or a same-basename sf dir from
+    another checkout never serves a stale copy; it lives under
+    /tmp/pqc_fixtures so the documented cache-reset ritual (delete
+    that dir) clears it too."""
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
+    if n_files > 1:
+        stage = f"/tmp/pqc_fixtures/stream_src_{key}_x{n_files}"
+        if not os.path.exists(f"{stage}/_SUCCESS"):
+            spark.read.parquet(src).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(stage)
+        return stage
+    stage = f"/tmp/pqc_fixtures/stream_src_{key}"
+    staged = f"{stage}/events.parquet"
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.link(src, staged)
+        except OSError:
+            shutil.copyfile(src, staged)
+    return stage
 
 
 def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:

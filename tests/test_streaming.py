@@ -99,3 +99,51 @@ def test_stateful_dedup_flags_cross_batch_duplicates(spark, tmp_path):
     ).collect()
     flagged = {(r["image_id"], r["seq"]) for r in out}
     assert flagged == {("A", 3), ("B", 2), ("C", 5)}
+
+
+def test_stateful_sessionization_corrects_late_bridge(spark, tmp_path):
+    """A late-arriving event that bridges two provisional sessions must
+    MERGE them: the eventual transition recomputes from full state, so
+    the final summary reads 1 session, not the 2 an append-only
+    sessionizer would have frozen in."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from pqc.streaming.stateful import streaming_sessions
+    from pqc.streaming.windowed import run_to_completion
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_file(name, epochs, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(epochs)),
+                "ts": pd.to_datetime(epochs, unit="s"),
+                "user_id": 7,
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+        ).astype({"event_id": "int64", "user_id": "int64"})
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP(MICROS)
+        p = str(src / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    # t=0 and t=3000: gap 3000 > 1800 → provisionally 2 sessions
+    write_file("b1.parquet", [0, 3000], now - 100)
+    # t=1500 arrives later and bridges (gaps 1500/1500 ≤ 1800)
+    write_file("b2.parquet", [1500], now - 50)
+
+    out = run_to_completion(
+        streaming_sessions(spark, str(src)), "stateful_sessions_test"
+    ).toPandas()
+    final = out.loc[out["n_events"].idxmax()]
+    assert int(final["n_events"]) == 3
+    assert int(final["n_sessions"]) == 1
+    # the provisional 2-session summary was emitted before correction
+    assert (out["n_sessions"] == 2).any() or len(out) == 1
