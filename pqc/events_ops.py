@@ -249,3 +249,89 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ks_stat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events ⋈ time windows, binned equi-join form
+# ---------------------------------------------------------------------------
+
+N_RANGE_WINDOWS = 10
+RANGE_PRE_SEC = 900  # window = [busy_hour - 15 min, busy_hour + 45 min)
+RANGE_POST_SEC = 2700
+_BIN_SEC = 3600  # bin width ≥ window span → each window spans ≤ 2 bins
+
+_RANGE_JOIN_ORACLE = f"""
+WITH busy AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+  ORDER BY n DESC, h ASC LIMIT {N_RANGE_WINDOWS}
+),
+win AS (
+  SELECT strftime(h, '%Y-%m-%d %H:00:00') AS window_id,
+         epoch(h) - {RANGE_PRE_SEC} AS lo,
+         epoch(h) + {RANGE_POST_SEC} AS hi
+  FROM busy
+)
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS total_value
+FROM events e JOIN win w
+  ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
+GROUP BY w.window_id
+"""
+
+
+@register("interval_range_join", oracle=_RANGE_JOIN_ORACLE)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the custom-operator family Spark lacks
+    natively: every event joins the incident windows containing its
+    timestamp (windows = the {N} busiest hours, widened to
+    [h−15 min, h+45 min)), rolled up per window.
+
+    The naive plan is a BroadcastNestedLoopJoin on the two range
+    predicates — O(|events|·|windows|) comparisons and a plan test
+    failure waiting to happen at corpus scale. The scale-correct shape
+    implemented here is the standard BINNING rewrite: pick a bin width
+    ≥ the window span (1 h), explode each window into the ≤ 2 bins it
+    overlaps, bin every event by ts DIV width, EQUI-join on bin, then
+    post-filter the exact range. The join becomes a hash join whose
+    probe side is pruned to events in candidate bins — at 10^12 events
+    the range predicates touch only the ~windows×2-bin slice, and the
+    window table stays broadcastable. (Same rewrite DuckDB/Timescale
+    apply internally; the oracle states the plain range join.)"""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    busy = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("h").asc())
+        .limit(N_RANGE_WINDOWS)
+    )
+    win = busy.select(
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("window_id"),
+        (F.col("h").cast("timestamp").cast("double") - RANGE_PRE_SEC).alias("lo"),
+        (F.col("h").cast("timestamp").cast("double") + RANGE_POST_SEC).alias("hi"),
+    )
+    # explode each window into the bins it overlaps (≤ 2 at this span)
+    win_binned = win.select(
+        "window_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_SEC).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / _BIN_SEC).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    ev_binned = ev.select(
+        epoch.alias("ep"), "value", F.floor(epoch / _BIN_SEC).cast("long").alias("bin")
+    )
+    joined = (
+        ev_binned.join(F.broadcast(win_binned), "bin")
+        .filter((F.col("ep") >= F.col("lo")) & (F.col("ep") < F.col("hi")))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )

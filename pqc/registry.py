@@ -153,8 +153,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_token_stats",
     "quantized_knn_topk",
     "streaming_sessionization",
+    "interval_range_join",
     # -- rotation of r3-green heavies to keep their evidence fresh
-    "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "streaming_stateful_dedup",
 ]

@@ -173,3 +173,16 @@ def test_free_from_bulk_plan_broadcasts_vocab_no_smj(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_range_join_is_binned_equi_join_not_bnlj(spark):
+    """The interval join must run as the binned EQUI-join rewrite — a
+    BroadcastNestedLoopJoin on the raw range predicates is the
+    O(events × windows) plan that dies at corpus scale."""
+    from pqc.registry import REGISTRY, all_queries
+
+    all_queries()
+    plan = plan_of(REGISTRY["interval_range_join"].fn(spark, SF_DIR_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
