@@ -335,3 +335,70 @@ def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style hierarchical rollup (continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+_HIER_ORACLE = f"""
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS b,
+         COUNT(*) AS n_events,
+         {dsum_sql('value')} AS total_value
+  FROM events GROUP BY 1
+),
+day AS (
+  SELECT date_trunc('day', b) AS b,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         {dsum_sql('total_value')} AS total_value
+  FROM hour GROUP BY 1
+)
+SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       n_events, total_value
+FROM hour
+UNION ALL
+SELECT 'day' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       n_events, total_value
+FROM day
+"""
+
+
+@register("hierarchical_time_rollup", oracle=_HIER_ORACLE)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hour-level rollup is
+    computed from the raw events ONCE, and the day level is maintained
+    FROM the hour aggregate — an aggregate-on-aggregate whose input is
+    |hours| rows, not |events|. That reuse is the entire point of
+    continuous aggregates at 10^12 rows: coarser resolutions refresh
+    from the materialized finer layer at negligible cost, and a query
+    router picks the coarsest layer that answers the question.
+
+    Exactness across the hierarchy: hour totals are decimal-exact sums
+    of raw values; the day level is DEFINED as the decimal-exact sum
+    of the hour totals (both engines mirror that two-step structure),
+    so re-aggregation introduces no float-order drift."""
+    from pqc.exprs import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value")
+    )
+    day = hour.groupBy(F.date_trunc("day", F.col("b")).alias("b")).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        dsum(F.col("total_value")).alias("total_value"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hour.select(
+        F.lit("hour").alias("level"),
+        F.date_format("b", fmt).alias("bucket"),
+        "n_events",
+        "total_value",
+    ).unionByName(
+        day.select(
+            F.lit("day").alias("level"),
+            F.date_format("b", fmt).alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )

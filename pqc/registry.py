@@ -154,8 +154,8 @@ DRIVER_PRIORITY: list[str] = [
     "quantized_knn_topk",
     "streaming_sessionization",
     "interval_range_join",
+    "hierarchical_time_rollup",
     # -- rotation of r3-green heavies to keep their evidence fresh
-    "ngram_jaccard_pairs",
     "streaming_stateful_dedup",
 ]
 
