@@ -543,7 +543,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     probe is a scalar ``count`` action per round — driver-side by
     necessity, O(1) data to the driver.
     """
+    # materialize the edge list ONCE: every round's joins + the
+    # convergence count would otherwise re-execute the caller's edge
+    # plan (for near_dup_clusters: the banded SimHash self-join)
+    # 2-3× per round
+    edges = edges.localCheckpoint(eager=False)
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -580,7 +586,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would be SILENT data
+        # corruption (split components with wrong keepers/sizes that
+        # only surfaces as an unexplained oracle mismatch) — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} rounds"
+        )
     return labels
 
 

@@ -378,8 +378,6 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of raw values; the day level is DEFINED as the decimal-exact sum
     of the hour totals (both engines mirror that two-step structure),
     so re-aggregation introduces no float-order drift."""
-    from pqc.exprs import dsum
-
     ev = load_table(spark, sf_dir, "events")
     hour = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
         F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value")

@@ -251,6 +251,36 @@ def _video_features(data: bytes, decl_fps, decl_nf) -> dict:
     }
 
 
+def _feature_row(mid, kind, part, data, sr, ns, fps, nf) -> dict:
+    """One media row → feature dict with strict error capture — the
+    SINGLE definition of the island's row shape, shared by the
+    distributed island and the sidecar rederivation so the two can
+    never drift apart (a shape change in one place would otherwise
+    silently turn the oracle hash red)."""
+    row = {
+        "media_id": mid,
+        "kind": kind,
+        "part": int(part),
+        "decode_ok": False,
+        "duration_sec": None,
+        "rms": None,
+        "zero_crossing_rate": None,
+        "n_frames_sampled": None,
+        "mean_luma": None,
+    }
+    try:
+        if data is None or len(data) == 0:
+            raise ValueError("null/empty payload")
+        if kind == "audio":
+            row.update(_audio_features(data, sr, ns))
+        else:
+            row.update(_video_features(data, fps, nf))
+        row["decode_ok"] = True
+    except Exception:
+        pass  # decode_ok stays False; features stay null
+    return row
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """The multimodal decode island: ONE bytes-reading scan, Arrow
     batches, real codec decode (pqc/media_codec.py), strict error
@@ -259,34 +289,11 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def island(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
             cols = zip(
                 pdf["media_id"], pdf["kind"], pdf["part"], pdf["bytes"],
                 pdf["sample_rate"], pdf["n_samples"], pdf["fps"], pdf["n_frames"],
             )
-            for mid, kind, part, data, sr, ns, fps, nf in cols:
-                row = {
-                    "media_id": mid,
-                    "kind": kind,
-                    "part": int(part),
-                    "decode_ok": False,
-                    "duration_sec": None,
-                    "rms": None,
-                    "zero_crossing_rate": None,
-                    "n_frames_sampled": None,
-                    "mean_luma": None,
-                }
-                try:
-                    if data is None or len(data) == 0:
-                        raise ValueError("null/empty payload")
-                    if kind == "audio":
-                        row.update(_audio_features(data, sr, ns))
-                    else:
-                        row.update(_video_features(data, fps, nf))
-                    row["decode_ok"] = True
-                except Exception:
-                    pass  # decode_ok stays False; features stay null
-                out.append(row)
+            out = [_feature_row(*args) for args in cols]
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(island, schema=FEATURE_SCHEMA)
@@ -312,31 +319,19 @@ def _ensure_features_sidecar() -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # pyarrow (unlike the Spark writers behind every other /tmp
+        # cache) does not create parent directories — a fresh
+        # environment after the documented cache-reset would crash here
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         rows = []
         for i in range(N_MEDIA_ROWS):
             r = _media_row(i)
-            out = {
-                "media_id": r["media_id"],
-                "kind": r["kind"],
-                "part": r["part"],
-                "decode_ok": False,
-                "duration_sec": None,
-                "rms": None,
-                "zero_crossing_rate": None,
-                "n_frames_sampled": None,
-                "mean_luma": None,
-            }
-            try:
-                if r["kind"] == "audio":
-                    out.update(
-                        _audio_features(r["bytes"], r["sample_rate"], r["n_samples"])
-                    )
-                else:
-                    out.update(_video_features(r["bytes"], r["fps"], r["n_frames"]))
-                out["decode_ok"] = True
-            except Exception:
-                pass
-            rows.append(out)
+            rows.append(
+                _feature_row(
+                    r["media_id"], r["kind"], r["part"], r["bytes"],
+                    r["sample_rate"], r["n_samples"], r["fps"], r["n_frames"],
+                )
+            )
         schema = pa.schema(
             [
                 ("media_id", pa.string()),

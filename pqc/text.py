@@ -251,10 +251,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id. Nothing leaves the JVM. The document-
     frequency join is the inverted-index shape every downstream
     salience/keyword extractor at 10^12 rows uses."""
+    from pqc.registry import pin
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # pinned: tok feeds BOTH aggregates — unpersisted, the scan +
+    # normalize + tokenize + explode (the query's dominant cost at
+    # corpus scale) executes twice
+    tok = pin(docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     w = W.partitionBy("doc_id").orderBy(
