@@ -332,6 +332,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
+    return winnow_fps(docs)
+
+
+def winnow_fps(docs: DataFrame) -> DataFrame:
+    """Winnowing core over any (doc_id, text) DataFrame — split out so
+    the shared-run guarantee is testable on crafted documents
+    (tests/test_properties.py) independent of the corpus query."""
     t = tokens(F.col("text"))
     grams = (
         docs.filter(F.size(t) >= WINNOW_K)
@@ -348,7 +355,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
     cnt = W.partitionBy("doc_id")
-    fps = (
+    return (
         grams.select(
             "doc_id",
             "i",
@@ -359,7 +366,6 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .dropDuplicates()
     )
-    return fps
 
 
 # ---------------------------------------------------------------------------

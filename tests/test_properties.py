@@ -261,3 +261,30 @@ def test_prescreen_slack_bounds_double_fold_error(a, b):
     if denom < 1e-6:  # near-zero vectors never reach the threshold path
         return
     assert abs(acc - float(exact)) / denom < PRESCREEN_EPS
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): two documents
+    sharing a run of at least w+k-1 words share at least one selected
+    fingerprint. Crafted docs with an exactly-minimal shared run (7
+    words at k=4, w=4) embedded in otherwise-disjoint text must
+    collide; fully disjoint docs must not."""
+    from pqc.text import WINNOW_K, WINNOW_W, winnow_fps
+
+    run = "golden retrievers chase tennis balls every morning"  # 7 words
+    assert len(run.split()) == WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha beta gamma delta {run} epsilon zeta eta theta"),
+            ("b", f"one two three four five {run} six seven eight nine"),
+            ("c", "completely unrelated words with nothing in common here at all"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fps(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc["a"] & by_doc["b"], "shared 7-word run must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
