@@ -803,8 +803,9 @@ def srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data-INDEPENDENT bucketing alternative to the IVF prefilter
     (`embedding_near_dup_bucketed`): 16 fixed hyperplanes give a 16-bit
     code whose per-bit disagreement probability is θ/π, banded 2×8 so
-    near-identical vectors (seeded pairs: θ ≈ 4.4°, P[8-bit band
-    clean] ≈ 0.89 each, P[miss both] ≈ 0.011) almost surely share a
+    near-identical vectors (seeded pairs: θ ≈ 4.4°, per-bit agreement
+    ≈ 0.975, P[8-bit band clean] ≈ 0.82 each, P[miss both] ≈ 0.033)
+    almost surely share a
     band while random pairs (θ ≈ 90°) collide with P ≈ 2·2⁻⁸ ≈ 0.008.
 
     IVF-vs-SRP trade at corpus scale: SRP needs no training and its

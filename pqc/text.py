@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from pqc.exprs import davg_sql, hash64, hash64_sql_duckdb
 from pqc.io import load_table
-from pqc.registry import register
+from pqc.registry import pin, register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -251,8 +251,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id. Nothing leaves the JVM. The document-
     frequency join is the inverted-index shape every downstream
     salience/keyword extractor at 10^12 rows uses."""
-    from pqc.registry import pin
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
