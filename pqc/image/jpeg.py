@@ -535,3 +535,40 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         )
     ycc = np.stack(planes, axis=-1)[:fh, :fw]
     return _ycbcr_to_rgb(ycc)
+
+
+def jpeg_requantize(arr: np.ndarray, quality: int = 90) -> np.ndarray:
+    """Fast regeneration-loss path: the pixels ``jpeg_decode(jpeg_encode
+    (arr, quality))`` would produce, computed WITHOUT the entropy stage.
+
+    Baseline JPEG's loss lives entirely in quantization — Huffman
+    coding is lossless — so colorspace → DCT → quantize → dequantize →
+    IDCT → colorspace reproduces the full roundtrip bit-for-bit (the
+    float expressions below are copied verbatim from jpeg_encode /
+    jpeg_decode so every rounding step matches; asserted equal in
+    tests, the same contract as codec.lsy_requantize). The decode
+    island's regen-PSNR gate uses this on its 128² crop: profiled
+    ~62 ms/row for the full encode+decode roundtrip vs ~2 ms here —
+    the entropy coder was 95% of the gate's cost and contributes
+    nothing to the measured loss."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_requantize expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    qt_l, qt_c = _qtable(quality), _qtable_chroma(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    ph, pw = -h % 8, -w % 8
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    bh, bw_ = (h + ph) // 8, (w + pw) // 8
+    planes = []
+    for ci in range(3):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _blocks_of(ycc[..., ci] - 128.0)
+        # encode side (verbatim): forward DCT + quantize
+        coeffs = np.round((_D8 @ blocks @ _D8.T) / qt).astype(np.int32)
+        # decode side (verbatim): dequantize + IDCT + level shift
+        pix = _D8.T @ (coeffs.astype(np.float64) * qt) @ _D8 + 128.0
+        planes.append(
+            pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+    ycc2 = np.stack(planes, axis=-1)[:h, :w]
+    return _ycbcr_to_rgb(ycc2)

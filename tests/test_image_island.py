@@ -331,3 +331,20 @@ def test_ledger_resume_equals_full_run(spark, images, tmp_path):
     full = suite.run(SuiteContext(images=images, image_dim=dim)).verdicts
     combined = res1.verdicts.unionByName(res2.verdicts)
     assert sorted(map(tuple, combined.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_jpeg_requantize_equals_full_roundtrip():
+    """The island's jpeg regen-PSNR gate uses the entropy-free
+    requantize path — it must reproduce decode(encode(x)) EXACTLY
+    (Huffman coding is lossless, so any difference is a bug in the
+    copied float pipeline)."""
+    from pqc.image.jpeg import jpeg_decode, jpeg_encode, jpeg_requantize
+
+    for i, q in ((3, 95), (50, 75), (212, 50)):
+        a = np.ascontiguousarray(pixels_for(i)[:128, :128])
+        assert np.array_equal(
+            jpeg_requantize(a, q), jpeg_decode(jpeg_encode(a, q))
+        ), (i, q)
+    # odd, non-multiple-of-8 dims take the padded path
+    b = np.ascontiguousarray(pixels_for(9)[:61, :45])
+    assert np.array_equal(jpeg_requantize(b, 90), jpeg_decode(jpeg_encode(b, 90)))
