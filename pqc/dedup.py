@@ -241,35 +241,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_exprs_spark(h_col):
-    return [F.min(minhash_perm(h_col, i + 1, 17 * i + 3)).alias(f"mh{i}") for i in range(MINHASH_K)]
+def _minhash_exprs_spark(h_col, k: int = MINHASH_K):
+    return [F.min(minhash_perm(h_col, i + 1, 17 * i + 3)).alias(f"mh{i}") for i in range(k)]
 
 
-_MH_COLS_SQL = ", ".join(
-    f"MIN({minhash_perm_sql('hs', i + 1, 17 * i + 3)}) AS mh{i}" for i in range(MINHASH_K)
-)
+def _mh_cols_sql(k: int) -> str:
+    return ", ".join(
+        f"MIN({minhash_perm_sql('hs', i + 1, 17 * i + 3)}) AS mh{i}" for i in range(k)
+    )
 
 
-def _band_members(b: int) -> list[int]:
+def _band_members(b: int, rows: int = MINHASH_ROWS) -> list[int]:
     """Signature positions folded into band *b* (r consecutive rows)."""
-    return list(range(b * MINHASH_ROWS, (b + 1) * MINHASH_ROWS))
+    return list(range(b * rows, (b + 1) * rows))
 
 
-def _band_key_sql(b: int) -> str:
-    parts = ", ',', ".join(f"mh{i}" for i in _band_members(b))
+def _band_key_sql(b: int, rows: int) -> str:
+    parts = ", ',', ".join(f"mh{i}" for i in _band_members(b, rows))
     expr = f"concat('b{b}:', {parts})"
     return f"{hash64_sql_duckdb(expr)} AS band{b}"
 
 
-_BAND_KEYS_SQL = ", ".join(_band_key_sql(b) for b in range(MINHASH_BANDS))
-
-_MINHASH_ORACLE = f"""
+def _minhash_oracle(k: int, rows: int) -> str:
+    """Uncapped straight-line twin: signatures → band keys → band
+    self-join → exact Jaccard. The Spark side's representative collapse
+    + hot-bucket cap are exact rewrites at driver scale (no bucket can
+    exceed the 2000 cap at 500 docs), so the naive derivation IS the
+    expected output."""
+    n_bands = k // rows
+    band_keys_sql = ", ".join(_band_key_sql(b, rows) for b in range(n_bands))
+    band_names = ", ".join(f"band{b}" for b in range(n_bands))
+    return f"""
 WITH sh AS ({_shingles_sql()}),
-sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+sig AS (SELECT doc_id, {_mh_cols_sql(k)} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {band_keys_sql} FROM sig),
 bk AS (
   SELECT doc_id, band FROM bands
-  UNPIVOT (band FOR b IN ({", ".join(f"band{b}" for b in range(MINHASH_BANDS))}))
+  UNPIVOT (band FOR b IN ({band_names}))
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -292,49 +300,141 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESH
 """
 
 
-@register("minhash_lsh_dedup", oracle=_MINHASH_ORACLE)
-def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(32 bands × 2 rows) near-dup candidates,
-    verified with exact Jaccard ≥ 0.2.
+def _minhash_rep_candidates(
+    sh: DataFrame,
+    k: int = MINHASH_K,
+    rows: int = MINHASH_ROWS,
+    cap: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Banded candidate pairs among shingle-set REPRESENTATIVES.
 
-    The scale path: signatures are 64 bigints/doc; band keys bound the
-    self-join (docs collide only if BOTH rows of a band agree), so
-    candidate count tracks true-duplicate density instead of corpus² —
-    see the (b, r) S-curve analysis at the constants above.
-    Permutations are XOR-salted portable hashes (pqc/exprs.py) so
-    DuckDB reproduces the exact signature. Verification re-joins
-    shingles only for candidate pairs — the screen→confirm shape of
-    `banningredients.py:185-268`.
+    The duplicate-degeneracy guard (r4 verdict #1): a duplicate-heavy
+    corpus — the normal case for training-data dedup — puts millions of
+    byte-identical documents into ONE band bucket, making the naive
+    band self-join quadratic. Fix (the standard production layering,
+    composing with ``exact_dup_groups``):
+
+    1. **Pre-collapse identical shingle sets** to one representative
+       (min doc_id per set-key). Signatures/bands/candidate join/
+       verify all run over representatives, so m identical docs cost
+       1 unit instead of m²/2. This is EXACT — Jaccard is a function
+       of the shingle sets alone, so every member pair's score equals
+       its representative pair's score (reconstructed in
+       :func:`_expand_rep_pairs`).
+    2. **Hot-bucket cap** (``pqc/skew.py::capped_band_join``) as the
+       backstop for near-identical-but-distinct sets that still pile
+       into one bucket: buckets above the cap are diverted from the
+       pairwise join (recall via any non-hot band, as in the phash
+       path).
+
+    Returns ``(cand_rep_pairs, membership, hot_buckets)`` where
+    membership is ``(doc_id, sskey, rep_id, n_members)``.
     """
-    sh = pin(_shingle_df(spark, sf_dir))  # reused: signatures, sizes, both verify sides
-    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark(F.col("hs")))
+    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+
+    n_bands = k // rows
+    # ONE groupBy computes the set-key and the signature together: the
+    # collapse costs no extra shuffle over the plain signature pass
+    # (collect_set rides the same exchange as the mh mins)
+    set_key = hash64(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_set("hs")), lambda x: x.cast("string")
+            ),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        set_key.alias("sskey"), *_minhash_exprs_spark(F.col("hs"), k)
+    )
+    reps = sig.groupBy("sskey").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    membership = sig.select("doc_id", "sskey").join(reps, "sskey")
+    rep_sig = sig.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
 
     def _band_col(b: int):
         parts: list = [F.lit(f"b{b}:")]
-        for i in _band_members(b):
-            if i != _band_members(b)[0]:
+        for i in _band_members(b, rows):
+            if i != _band_members(b, rows)[0]:
                 parts.append(F.lit(","))
             parts.append(F.col(f"mh{i}").cast("string"))
         return hash64(F.concat(*parts)).alias(f"band{b}")
 
-    band_cols = [_band_col(b) for b in range(MINHASH_BANDS)]
-    bands = sig.select("doc_id", *band_cols)
-    bk = pin(bands.select(
+    bands = rep_sig.select("doc_id", *[_band_col(b) for b in range(n_bands)])
+    bk = bands.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])).alias(
-            "band"
-        ),
-    ))
-    a = bk.alias("a")
-    b = bk.alias("b")
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band"),
+    )
+    cold, hot = capped_band_join(bk, ("band",), cap or DEFAULT_BAND_CAP)
+    cold = pin(cold)
+    a = cold.alias("a")
+    b = cold.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    return cand, membership, hot
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, membership: DataFrame, value_col: str, unit_value
+) -> DataFrame:
+    """Exact reconstruction of member-level pairs from representative-
+    level pairs: cross pairs inherit their representative pair's score
+    (the score is a function of the collapsed fingerprint alone);
+    within-group pairs score ``unit_value`` (identical fingerprints).
+    Output ordering is re-derived with least/greatest — group members
+    interleave arbitrarily in id order."""
+    mem_a = membership.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma")
+    )
+    mem_b = membership.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_a")
+        .join(mem_b, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            F.col(value_col),
+        )
+    )
+    ga = membership.select("sskey", F.col("doc_id").alias("doc_a"))
+    gb = membership.select("sskey", F.col("doc_id").alias("doc_b"))
+    within = (
+        ga.join(gb, "sskey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", unit_value.alias(value_col))
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    rows: int,
+    cap: int | None = None,
+) -> DataFrame:
+    sh = pin(_shingle_df(spark, sf_dir))  # reused: signatures, sizes, both verify sides
+    cand, membership, _hot = _minhash_rep_candidates(sh, k, rows, cap)
+    membership = pin(membership)
+    # verify on representative shingle sets only (members share them)
+    rep_sh = pin(
+        sh.join(
+            membership.select(F.col("rep_id").alias("doc_id")).dropDuplicates(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    sizes = rep_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = rep_sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    shb = rep_sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
@@ -352,9 +452,58 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
     )
-    return jacc.select(
+    rep_pairs = jacc.select(
         "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
     )
+    # exact member-level reconstruction: cross pairs inherit the rep
+    # pair's Jaccard (same sets ⇒ same score); within-group pairs are
+    # identical sets ⇒ Jaccard exactly 1.0 (integer n/(n+n−n))
+    return _expand_rep_pairs(rep_pairs, membership, "jaccard", F.lit(1.0))
+
+
+@register("minhash_lsh_dedup", oracle=_minhash_oracle(MINHASH_K, MINHASH_ROWS))
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(32 bands × 2 rows) near-dup candidates,
+    verified with exact Jaccard ≥ 0.2.
+
+    The scale path: signatures are 64 bigints/doc; band keys bound the
+    self-join (docs collide only if BOTH rows of a band agree), so
+    candidate count tracks true-duplicate density instead of corpus² —
+    see the (b, r) S-curve analysis at the constants above.
+    Duplicate-degenerate corpora are guarded twice over: identical
+    shingle sets collapse to one representative before banding and hot
+    band buckets are capped (:func:`_minhash_rep_candidates` — bounded-
+    candidate proof in tests/test_scale_mechanics.py), with the exact
+    member-level pair set reconstructed afterwards. Permutations are
+    XOR-salted portable hashes (pqc/exprs.py) so DuckDB reproduces the
+    exact signature. Verification re-joins shingles only for candidate
+    pairs — the screen→confirm shape of `banningredients.py:185-268`.
+    """
+    return _minhash_pairs(spark, sf_dir, MINHASH_K, MINHASH_ROWS)
+
+
+# Production dial (BASELINE.md §minhash-dial, measured r4): K = 128 as
+# 64 bands × 2 rows moves the S-curve midpoint to t = (1/64)^(1/2) ≈
+# 0.125, lifting screen recall at the j = 0.2 confirm threshold from
+# 0.63 to 0.91 for 2× signature cost — the dial a 100 TB dedup pass
+# would run. Registered as its own driver row so the production
+# configuration itself has hash-checked evidence, not just the study.
+MINHASH_K_PROD = 128
+MINHASH_BANDS_PROD = MINHASH_K_PROD // MINHASH_ROWS  # 64 bands
+
+
+@register(
+    "minhash_lsh_dedup_k128",
+    oracle=_minhash_oracle(MINHASH_K_PROD, MINHASH_ROWS),
+)
+def minhash_lsh_dedup_k128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`minhash_lsh_dedup` at the measured production dial (K = 128,
+    64 × 2 banding): same plan shape, same exact-Jaccard confirm, same
+    degeneracy guards — only the screen's operating point moves (recall
+    at j = 0.2: 0.63 → 0.91, BASELINE.md). Candidates are a superset of
+    the K = 64 screen's at this corpus, so the driver row is non-vacuous
+    wherever the toy dial's was."""
+    return _minhash_pairs(spark, sf_dir, MINHASH_K_PROD, MINHASH_ROWS)
 
 
 # ---------------------------------------------------------------------------
@@ -478,10 +627,25 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(sig)
 
 
-def _simhash_pairs(sig: DataFrame) -> DataFrame:
-    """Banded hamming-ball pairs (doc_a, doc_b, hamming) from a
-    (doc_id, simhash) signature table — shared by the pair query and
-    the transitive clustering below."""
+def _simhash_rep_candidates(
+    sig: DataFrame, cap: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Banded hamming-ball candidates among DISTINCT fingerprints.
+
+    Same duplicate-degeneracy layering as :func:`_minhash_rep_candidates`
+    (r4 verdict #1): identical simhashes collapse to one representative
+    before banding — a corpus of m identical documents contributes ONE
+    band row instead of an m²/2 bucket join — and the representative
+    band table goes through the hot-bucket cap as the backstop. Exact:
+    hamming is a function of the two fingerprints alone.
+
+    Returns ``(rep_pairs, membership, hot)``: rep_pairs is
+    ``(sim_a, sim_b, hamming)`` over distinct fingerprints; membership
+    is ``(doc_id, simhash)`` (= sig).
+    """
+    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+
+    reps = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
     band_keys = F.array(
         *[
             F.struct(
@@ -491,28 +655,61 @@ def _simhash_pairs(sig: DataFrame) -> DataFrame:
             for i in range(SIMHASH_BANDS)
         ]
     )
-    bk = pin(
-        sig.select("doc_id", "simhash", F.explode(band_keys).alias("band"))
-        .select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    bk = (
+        reps.select("simhash", "rep_id", F.explode(band_keys).alias("band"))
+        .select("simhash", "rep_id", "band.band_idx", "band.band_val")
     )
-    a = bk.alias("a")
-    b = bk.alias("b")
-    pairs = (
+    cold, hot = capped_band_join(bk, ("band_idx", "band_val"), cap or DEFAULT_BAND_CAP)
+    cold = pin(cold)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["sim_a", "sim_b"])
     )
-    return pairs
+    return rep_pairs, sig, hot
+
+
+def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
+    """Banded hamming-ball pairs (doc_a, doc_b, hamming) from a
+    (doc_id, simhash) signature table — shared by the pair query and
+    the transitive clustering below. Degeneracy-guarded via
+    representative collapse + hot-bucket cap
+    (:func:`_simhash_rep_candidates`); the member-level pair set is
+    reconstructed exactly (cross pairs inherit their fingerprints'
+    hamming; identical-fingerprint pairs are hamming 0)."""
+    rep_pairs, membership, _hot = _simhash_rep_candidates(sig, cap)
+    membership = pin(membership)
+    mem_a = membership.select(F.col("simhash").alias("sim_a"), F.col("doc_id").alias("ma"))
+    mem_b = membership.select(F.col("simhash").alias("sim_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rep_pairs.join(mem_a, "sim_a")
+        .join(mem_b, "sim_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    ga = membership.select("simhash", F.col("doc_id").alias("doc_a"))
+    gb = membership.select("simhash", F.col("doc_id").alias("doc_b"))
+    within = (
+        ga.join(gb, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

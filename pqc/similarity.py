@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from pqc.exprs import hash64
 from pqc.io import load_table
 from pqc.registry import pin, register
 
@@ -814,40 +815,69 @@ def srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution; IVF adapts buckets to the corpus (better candidate
     efficiency on clustered data — see the coverage-law table in
     BASELINE.md) at the price of sample-training. Candidates come from
-    an equi-join on (band_idx, band_val) — never all-pairs — and the
+    an equi-join on (band_idx, band_val) — never all-pairs — with the
+    duplicate-degeneracy guards of the MinHash path (identical-vector
+    collapse + hot-bucket cap, :func:`_srp_rep_candidates`), and the
     double-prescreen → decimal-confirm ladder prices the survivors."""
-    emb = _augmented_embeddings(spark, sf_dir)
-    sig = emb.select(
+    return _srp_pairs(_augmented_embeddings(spark, sf_dir))
+
+
+def _srp_rep_candidates(
+    emb: DataFrame, cap: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SRP band candidates among DISTINCT vectors (r4 verdict #1: the
+    band self-join was uncapped). Identical vectors — the dominant mass
+    of a duplicate-heavy corpus, and all landing in ONE bucket since
+    the code is a function of the vector — collapse to min(vec_id)
+    representatives before banding; the representative band table then
+    goes through ``pqc/skew.py::capped_band_join`` as the backstop for
+    near-identical-but-distinct pileups. Exact: cosine is a function
+    of the two vectors alone, so member pairs inherit their
+    representatives' score (reconstructed in :func:`_srp_pairs`).
+
+    Returns ``(cand, membership, hot)``: cand carries representative
+    pair ids + vectors + norms; membership is ``(vec_id, vkey, rep_id)``.
+    """
+    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+
+    vkey = hash64(
+        F.concat_ws(",", F.transform(F.col("embedding"), lambda x: x.cast("string")))
+    )
+    keyed = emb.select("vec_id", "embedding", vkey.alias("vkey"))
+    reps = keyed.groupBy("vkey").agg(F.min("vec_id").alias("rep_id"))
+    membership = keyed.select("vec_id", "vkey").join(reps, "vkey")
+    rep_vecs = keyed.join(
+        reps.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sig = rep_vecs.select(
         "vec_id",
         "embedding",
         F.sqrt(_norm2(F.col("embedding"))).alias("nrm"),
         _srp_code(F.col("embedding")).alias("code"),
     )
-    bk = pin(
-        sig.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            (
-                                F.shiftright(F.col("code"), b * SRP_BAND_BITS)
-                                .bitwiseAND(F.lit((1 << SRP_BAND_BITS) - 1))
-                            ).alias("band_val"),
-                        )
-                        for b in range(SRP_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        ).select(
-            "vec_id", "embedding", "nrm", "band.band_idx", "band.band_val"
-        )
-    )
-    a = bk.alias("a")
-    b = bk.alias("b")
+    bk = sig.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("code"), b * SRP_BAND_BITS)
+                            .bitwiseAND(F.lit((1 << SRP_BAND_BITS) - 1))
+                        ).alias("band_val"),
+                    )
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
+    cold, hot = capped_band_join(bk, ("band_idx", "band_val"), cap or DEFAULT_BAND_CAP)
+    cold = pin(cold)
+    a = cold.alias("a")
+    b = cold.alias("b")
     cand = (
         a.join(
             b,
@@ -865,15 +895,61 @@ def srp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = (
+    return cand, membership, hot
+
+
+def _srp_pairs(emb: DataFrame, cap: int | None = None) -> DataFrame:
+    cand, membership, _hot = _srp_rep_candidates(emb, cap)
+    membership = pin(membership)
+    rep_pairs = (
         cand.withColumn(
             "acos", _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("acos") >= NEAR_DUP_COS - PRESCREEN_EPS)
         .withColumn("cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= NEAR_DUP_COS)
+        .select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
     )
-    return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
+    mem_a = membership.select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("ma"))
+    mem_b = membership.select(F.col("rep_id").alias("id_b"), F.col("vec_id").alias("mb"))
+    cross = (
+        rep_pairs.join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            F.col("cosine"),
+        )
+    )
+    # within-group pairs: identical vectors, scored with the SAME
+    # expression the oracle evaluates for them — dot(v,v)/(√·√) on the
+    # group's vector (decimal fold + IEEE sqrt: bit-identical both
+    # engines; never synthesized as a 1.0 literal)
+    self_cos = F.round(
+        _dot(F.col("embedding"), F.col("embedding"))
+        / (
+            F.sqrt(_norm2(F.col("embedding")))
+            * F.sqrt(_norm2(F.col("embedding")))
+        ),
+        8,
+    )
+    rep_self = emb.join(
+        membership.filter(F.col("vec_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("vec_id"))
+        .dropDuplicates(),
+        "vec_id",
+        "left_semi",
+    ).select(F.col("vec_id").alias("rep_id"), self_cos.alias("cosine"))
+    ga = membership.select("vkey", "rep_id", F.col("vec_id").alias("id_a"))
+    gb = membership.select("vkey", F.col("vec_id").alias("id_b"))
+    within = (
+        ga.join(gb, "vkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(rep_self, "rep_id")
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .select("id_a", "id_b", "cosine")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

@@ -53,17 +53,21 @@ def salted_count(df: DataFrame, key: str | Column, n_salts: int = DEFAULT_SALTS)
 
 def capped_band_join(
     bands: DataFrame,
-    band_cols: tuple[str, str] = ("band_idx", "band_val"),
+    band_cols: tuple[str, ...] = ("band_idx", "band_val"),
     cap: int = DEFAULT_BAND_CAP,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a band table into (cold, hot_buckets): cold rows flow to
     the pairwise self-join; hot buckets (> cap members) are returned
     for reporting / exact-dup handling instead of joining quadratically.
 
+    ``band_cols`` is any non-empty tuple of bucket-key column names
+    (the phash path uses ``(band_idx, band_val)``; the MinHash path a
+    single pre-hashed ``(band,)`` key).
+
     Returns (cold_bands, hot_bucket_stats).
     """
-    bi, bv = band_cols
-    counts = bands.groupBy(bi, bv).agg(F.count(F.lit(1)).alias("n_members"))
+    cols = list(band_cols)
+    counts = bands.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_members"))
     hot = counts.filter(F.col("n_members") > cap)
-    cold = bands.join(F.broadcast(hot.select(bi, bv)), [bi, bv], "left_anti")
+    cold = bands.join(F.broadcast(hot.select(*cols)), cols, "left_anti")
     return cold, hot

@@ -163,3 +163,102 @@ def test_hot_shingle_cap_bounds_boilerplate_corpus(spark, tmp_path):
     # the FULL sets (boilerplate included in sizes/intersection)
     assert (200, 201) in pairs
     assert all(k == (200, 201) for k in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-degenerate corpora through the MinHash / SimHash / SRP band
+# joins (r4 verdict #1): m identical documents previously made ONE band
+# bucket m²/2-quadratic. The representative collapse must bound the
+# candidate join to distinct-fingerprint pairs while the OUTPUT stays
+# the exact member-level pair set.
+# ---------------------------------------------------------------------------
+
+N_DUP = 400  # identical copies — naive banding would join 79 800 pairs
+
+
+def _write_dup_docs(tmp_path) -> str:
+    import pandas as pd
+
+    copy_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, copy_text) for i in range(N_DUP)]
+    docs += [
+        (900, "completely different subject matter about maritime navigation charts"),
+        (901, "another unrelated piece concerning volcanic soil chemistry analysis"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_minhash_dup_degenerate_corpus_bounded(spark, tmp_path):
+    """400 byte-identical docs: the banded candidate join must see ONE
+    representative (zero or near-zero rep pairs), while the output is
+    the exact quadratic truth — every copy pair at Jaccard 1.0."""
+    from pqc.dedup import (
+        MINHASH_K,
+        MINHASH_ROWS,
+        _minhash_pairs,
+        _minhash_rep_candidates,
+        _shingle_df,
+    )
+
+    sf = _write_dup_docs(tmp_path)
+    sh = _shingle_df(spark, sf)
+    cand, membership, hot = _minhash_rep_candidates(sh, MINHASH_K, MINHASH_ROWS)
+    # 3 distinct shingle sets -> at most C(3,2) candidate rep pairs
+    assert cand.count() <= 3
+    mem = {r["doc_id"]: r["rep_id"] for r in membership.collect()}
+    assert sum(1 for v in mem.values() if v == 0) == N_DUP  # one group
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in _minhash_pairs(spark, sf, MINHASH_K, MINHASH_ROWS).collect()}
+    expected = {(a, b) for a in range(N_DUP) for b in range(a + 1, N_DUP)}
+    assert set(pairs) == expected
+    assert all(v == 1.0 for v in pairs.values())
+
+
+def test_simhash_dup_degenerate_corpus_bounded(spark):
+    """Identical fingerprints collapse before banding; the member pair
+    set (hamming 0 within, fingerprint hamming across) is reconstructed
+    exactly."""
+    from pqc.dedup import _simhash_pairs, _simhash_rep_candidates
+
+    rows = [(i, 0x12345678) for i in range(N_DUP)]
+    rows += [(900, 0x12345679), (901, 0x7F0F0F0F)]  # 1-bit neighbour + far
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    rep_pairs, _, _ = _simhash_rep_candidates(sig)
+    rp = {(r["sim_a"], r["sim_b"]): r["hamming"] for r in rep_pairs.collect()}
+    assert rp == {(0x12345678, 0x12345679): 1}  # 3 reps, 1 confirmed pair
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in _simhash_pairs(sig).collect()}
+    expected_within = {(a, b): 0 for a in range(N_DUP) for b in range(a + 1, N_DUP)}
+    expected_cross = {(i, 900): 1 for i in range(N_DUP)}
+    assert pairs == {**expected_within, **expected_cross}
+
+
+def test_srp_dup_degenerate_corpus_bounded(spark):
+    """Identical vectors collapse before SRP banding; every copy pair
+    comes back with the decimal-exact self-cosine, and the candidate
+    join is bounded to distinct-vector pairs."""
+    import numpy as np
+
+    from pqc.similarity import EMB_DIM, _srp_pairs, _srp_rep_candidates
+
+    rng = np.random.default_rng(7)
+    v0 = rng.normal(size=EMB_DIM).tolist()
+    far = (-np.asarray(v0)).tolist()  # cosine -1: never a candidate match
+    rows = [(i, v0) for i in range(N_DUP)] + [(900, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand, membership, _ = _srp_rep_candidates(emb)
+    assert cand.count() == 0  # 2 distinct vectors, opposite half-spaces
+    assert membership.filter(F.col("rep_id") == 0).count() == N_DUP
+
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in _srp_pairs(emb).collect()}
+    expected = {(a, b) for a in range(N_DUP) for b in range(a + 1, N_DUP)}
+    assert set(pairs) == expected
+    assert all(abs(v - 1.0) < 1e-8 for v in pairs.values())
