@@ -160,21 +160,31 @@ _register_driver_query()
 # ---------------------------------------------------------------------------
 
 SESSION_OUT_SCHEMA = "user_id long, n_events long, n_sessions long"
-SESSION_STATE_SCHEMA = "ts_list array<double>"
+SESSION_STATE_SCHEMA = "n_total long, starts array<double>, ends array<double>"
 
 
 def _session_transition(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Eventual sessionization: state accumulates EVERY event epoch seen
-    for the user; each invocation recomputes the session summary from
-    the full sorted set and re-emits it. A late event that bridges two
-    provisional sessions therefore CORRECTS the count on its arrival —
-    the emission with the highest n_events is the batch-exact answer
-    for any micro-batch arrival order (sessions are not suffix-stable,
-    so any "emit once and forget" scheme is order-dependent; keeping
-    the per-user epochs — 8 bytes/event in the state store, pruned by
-    a retention timeout in a production deployment — buys exactness)."""
+    """Eventual sessionization with **O(sessions) state** (r4 verdict
+    #2: the previous version kept every epoch ever seen — O(events/
+    user) state and an O(n log n) re-sort per arrival).
+
+    State = the merged session *intervals* (start, end) plus the total
+    event count. Each arriving batch's epochs enter the sweep as
+    degenerate [t, t] intervals; intervals whose gap is ≤ the session
+    gap merge. This is EXACT for any micro-batch arrival order:
+    interval starts/ends are actual event times, so a merge happens
+    only where two events chain within the gap, and conversely any two
+    globally-consecutive events within the gap end up merged (a late
+    bridging event still unions its two neighbour sessions on
+    arrival — sessions are monotone under event addition, never
+    split). The emission with the highest n_events therefore remains
+    the batch-exact answer, which is what makes the DuckDB oracle
+    valid. Per-arrival work is O((sessions + batch) log batch); a
+    heavy user with millions of events in a handful of sessions
+    carries a handful of interval rows in the state store instead of
+    millions of epochs (tests/test_streaming.py asserts the bound)."""
     import numpy as np
 
     from pqc.events_ops import SESSION_GAP_SECONDS
@@ -182,20 +192,36 @@ def _session_transition(
     batch = [p for p in pdfs if len(p)]
     if not batch:
         return
-    new_ts = pd.concat(batch, ignore_index=True)["ts_epoch"].to_numpy(dtype="float64")
+    new_ts = np.sort(
+        pd.concat(batch, ignore_index=True)["ts_epoch"].to_numpy(dtype="float64")
+    )
     if state.exists:
-        (prev,) = state.get
-        all_ts = np.concatenate([np.asarray(prev, dtype="float64"), new_ts])
+        n_total, starts, ends = state.get
+        s = np.concatenate([np.asarray(starts, dtype="float64"), new_ts])
+        e = np.concatenate([np.asarray(ends, dtype="float64"), new_ts])
     else:
-        all_ts = new_ts
-    all_ts = np.sort(all_ts)
-    state.update((all_ts.tolist(),))
-    n_sessions = 1 + int((np.diff(all_ts) > SESSION_GAP_SECONDS).sum())
+        n_total = 0
+        s, e = new_ts, new_ts
+    order = np.argsort(s, kind="stable")
+    s, e = s[order], e[order]
+    merged_s, merged_e = [s[0]], [e[0]]
+    for i in range(1, len(s)):
+        if s[i] - merged_e[-1] <= SESSION_GAP_SECONDS:
+            if e[i] > merged_e[-1]:
+                merged_e[-1] = e[i]
+        else:
+            merged_s.append(s[i])
+            merged_e.append(e[i])
+    n_total = int(n_total) + len(new_ts)
+    # plain Python floats: numpy scalars break the state pickler
+    state.update(
+        (n_total, [float(x) for x in merged_s], [float(x) for x in merged_e])
+    )
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
-            "n_events": [len(all_ts)],
-            "n_sessions": [n_sessions],
+            "n_events": [n_total],
+            "n_sessions": [len(merged_s)],
         }
     )
 

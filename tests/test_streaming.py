@@ -147,3 +147,72 @@ def test_stateful_sessionization_corrects_late_bridge(spark, tmp_path):
     assert int(final["n_sessions"]) == 1
     # the provisional 2-session summary was emitted before correction
     assert (out["n_sessions"] == 2).any() or len(out) == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the transition directly."""
+
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+
+def test_sessionizer_state_is_o_sessions():
+    """A heavy user (many events, few sessions) must carry O(sessions)
+    state, not O(events): the interval-merge transition stores merged
+    (start, end) pairs + one counter — r4 verdict #2's scale fix —
+    while the emitted summaries stay batch-exact for an out-of-order
+    late bridge."""
+    import pandas as pd
+
+    from pqc.events_ops import SESSION_GAP_SECONDS
+    from pqc.streaming.stateful import _session_transition
+
+    state = _FakeState()
+    # 50 batches × 200 events, all 1 s apart → ONE session of 10 000
+    last = None
+    for b in range(50):
+        ts = [b * 200 + i * 1.0 for i in range(200)]
+        last = list(
+            _session_transition(
+                (7,), [pd.DataFrame({"ts_epoch": ts})], state
+            )
+        )[0]
+    n_total, starts, ends = state.get
+    assert n_total == 10_000 and len(starts) == 1 and len(ends) == 1
+    assert int(last["n_events"].iloc[0]) == 10_000
+    assert int(last["n_sessions"].iloc[0]) == 1
+
+    # a second session far away, delivered BEFORE a late bridge check
+    far = 10_000 * (SESSION_GAP_SECONDS + 1)
+    list(_session_transition((7,), [pd.DataFrame({"ts_epoch": [far, far + 10]})], state))
+    n_total, starts, ends = state.get
+    assert n_total == 10_002 and len(starts) == 2
+
+    # out-of-order event landing INSIDE session 1 (no split, no growth)
+    out = list(_session_transition((7,), [pd.DataFrame({"ts_epoch": [5000.5]})], state))[0]
+    n_total, starts, ends = state.get
+    assert n_total == 10_003 and len(starts) == 2
+    assert int(out["n_sessions"].iloc[0]) == 2
+
+    # late bridge between the two sessions → merge to 1 interval
+    bridge_lo = ends[0] + SESSION_GAP_SECONDS
+    mids = []
+    t = bridge_lo
+    while t < far:
+        mids.append(t)
+        t += SESSION_GAP_SECONDS
+    out = list(_session_transition((7,), [pd.DataFrame({"ts_epoch": mids})], state))[0]
+    _, starts, ends = state.get
+    assert len(starts) == 1
+    assert int(out["n_sessions"].iloc[0]) == 1
