@@ -145,12 +145,16 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
     # The hit set is bounded by |distinct segments| × |dim| — broadcast
     # it so the (large) segment stream never shuffles.
     joined = segs.join(F.broadcast(hits), "segment")
+    # the segment tiebreak makes the pick DETERMINISTIC when two
+    # segments tie on (is_exact, score) — required for the violation-
+    # row oracle (the detail string embeds the winning segment)
     return joined.groupBy("image_id", "part", "canonical", "syn_type").agg(
         F.max_by(
             F.struct("match_kind", "score", "segment"),
             F.struct(
                 (F.col("match_kind") == "exact").cast("int").alias("is_exact"),
                 F.col("score"),
+                F.col("segment"),
             ),
         ).alias("best")
     ).select(

@@ -252,6 +252,116 @@ def synonyms_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def ensure_generated_parquet(
+    spark: SparkSession,
+    path: str,
+    n_rows: int,
+    row_fn,
+    schema: str,
+    n_tasks: int = 8,
+) -> str:
+    """Distributed deterministic fixture generation (the catalog
+    pattern, `pqc/audit_packs.py::_ensure_catalog`, generalized):
+    ``row_fn(i) -> dict`` must be a pure module-level function of the
+    index, so every task generates its range independently — the same
+    shape a 10^9-row synthetic load uses. Written once per path;
+    the DuckDB oracles read the same files."""
+    import os
+
+    from pqc.session import _ship_package
+
+    _ship_package(spark)
+    if not os.path.exists(path + "/_SUCCESS"):
+        from collections.abc import Iterator
+
+        def gen(batches: "Iterator[pd.DataFrame]"):
+            for pdf in batches:
+                yield pd.DataFrame([row_fn(int(i)) for i in pdf["id"]])
+
+        (
+            spark.range(0, n_rows, numPartitions=n_tasks)
+            .mapInPandas(gen, schema=schema)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def integrity_sidecar_path(n_rows: int = 2000) -> str:
+    return f"/tmp/pqc_fixtures/images_integrity_sidecar_n{n_rows}.parquet"
+
+
+def _sidecar_row(i: int) -> dict:
+    from pqc.image.decode import _check_one
+
+    r = row_for(i)
+    c = _check_one(r["bytes"], r["fmt"], r["w"], r["h"], r["phash"])
+    return {
+        "seq": i,
+        "image_id": r["image_id"],
+        "part": int(r["part"]),
+        "w": int(r["w"]),
+        "h": int(r["h"]),
+        "fmt": r["fmt"],
+        "phash": int(r["phash"]),
+        **c,
+    }
+
+
+def ensure_integrity_sidecar(n_rows: int = 2000) -> str:
+    """Known-answer sidecar for the image decode island (media pattern
+    from r4, `pqc/media.py:306`): every fixture payload is a pure
+    function of its index, so the expected per-row gate outcomes
+    (decode_ok/error, two-pass, dims, regen-PSNR, phash recompute) are
+    rederived OUTSIDE Spark — plain driver-side numpy over each row's
+    bytes — and written payload-free at fixture time. The DuckDB
+    oracles over this file then prove the distributed island (Arrow
+    batches, partitioned scan, per-task decode) reproduces the
+    reference decode bit-for-bit, converting the suite rollups from
+    rows-only to hash-checked driver evidence."""
+    import os
+
+    path = integrity_sidecar_path(n_rows)
+    if not os.path.exists(path):
+        from concurrent.futures import ProcessPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # row derivation is pure CPU (decode×2 + phash per row) — fan
+        # it over processes; order is pinned by the map
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+            rows = list(ex.map(_sidecar_row, range(n_rows), chunksize=64))
+        schema = pa.schema(
+            [
+                ("seq", pa.int64()),
+                ("image_id", pa.string()),
+                ("part", pa.int32()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("phash", pa.int64()),
+                ("decode_ok", pa.bool_()),
+                ("decode_error", pa.string()),
+                ("actual_w", pa.int32()),
+                ("actual_h", pa.int32()),
+                ("dims_match", pa.bool_()),
+                ("two_pass_ok", pa.bool_()),
+                ("psnr_regen", pa.float64()),
+                ("psnr_ok", pa.bool_()),
+                ("phash_recomputed", pa.int64()),
+                ("phash_hamming", pa.int32()),
+                ("phash_match", pa.bool_()),
+            ]
+        )
+        cols = {k: [r[k] for r in rows] for k in rows[0]}
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema), tmp)
+        os.replace(tmp, path)  # atomic publish (shared /tmp, many procs)
+    return path
+
+
 _FIXTURE_CACHE: dict[tuple[int, int], str] = {}
 
 

@@ -131,6 +131,25 @@ def decode_integrity(images: DataFrame) -> DataFrame:
     (pqc/session.py) so image batches stay memory-bounded.
     """
 
+    # Integer verdict columns must be materialized as NULLABLE Int64,
+    # not inferred: pd.DataFrame over dicts mixing None (failed rows)
+    # with ints infers float64, which silently rounds 60-bit phashes
+    # (2^62-magnitude ints lose their low ~10 bits) BEFORE Arrow casts
+    # back to long — caught by the r5 known-answer sidecar.
+    _DTYPES = {
+        "decode_ok": "bool",
+        "decode_error": "object",
+        "actual_w": "Int32",
+        "actual_h": "Int32",
+        "dims_match": "bool",
+        "two_pass_ok": "bool",
+        "psnr_regen": "float64",
+        "psnr_ok": "bool",
+        "phash_recomputed": "Int64",
+        "phash_hamming": "Int32",
+        "phash_match": "bool",
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             checks = [
@@ -139,7 +158,12 @@ def decode_integrity(images: DataFrame) -> DataFrame:
                     pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
                 )
             ]
-            res = pd.DataFrame(checks)
+            res = pd.DataFrame(
+                {
+                    k: pd.array([c[k] for c in checks], dtype=dt)
+                    for k, dt in _DTYPES.items()
+                }
+            )
             base = pdf[
                 ["seq", "image_id", "part", "w", "h", "fmt", "caption", "phash"]
             ].reset_index(drop=True)

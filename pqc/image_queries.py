@@ -60,41 +60,17 @@ def _ensure_meta_parquet(spark: SparkSession, n_rows: int, shift: int = 0) -> No
 
 
 def _images(spark: SparkSession) -> DataFrame:
-    from pqc.fixtures import cached_images_path
+    from pqc.fixtures import cached_images_path, ensure_integrity_sidecar
 
     _ensure_meta_parquet(spark, FIXTURE_ROWS)
+    ensure_integrity_sidecar(FIXTURE_ROWS)  # oracles read it (media pattern)
     return spark.read.parquet(cached_images_path(spark, FIXTURE_ROWS))
 
 
-@register("images_suite_verdicts")
-def images_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full constraint suite over the images fixture → per-partition
-    verdict table (part, constraint, n_checked, n_violations, passed).
-    The north-rule surface."""
-    from pqc.constraints import SuiteContext
-    from pqc.engine import ValidationSuite
-    from pqc.fixtures import generate_image_dim
+def _sidecar_glob() -> str:
+    from pqc.fixtures import integrity_sidecar_path
 
-    images = _images(spark)
-    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
-    res = ValidationSuite().run(ctx)
-    defer_release(res.release)  # caches freed when the next query runs
-    return res.verdicts.orderBy("part", "constraint")
-
-
-@register("images_violation_rows")
-def images_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The failed-rows surface (`app.py:1516-1521` analogue): every
-    violating record with constraint + evidence detail."""
-    from pqc.constraints import SuiteContext
-    from pqc.engine import ValidationSuite
-    from pqc.fixtures import generate_image_dim
-
-    images = _images(spark)
-    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
-    res = ValidationSuite().run(ctx)
-    defer_release(res.release)
-    return res.violations.orderBy("constraint", "image_id")
+    return f"read_parquet('{integrity_sidecar_path(FIXTURE_ROWS)}')"
 
 
 from pqc.exprs import (  # noqa: E402  (helpers used by oracle strings below)
@@ -287,15 +263,40 @@ def images_near_dup_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot_buckets(corpus).orderBy("band_idx", "band_val")
 
 
-@register("images_integrity_summary")
+_INTEG_SUMMARY_ORACLE = f"""
+SELECT fmt, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok,
+       CAST(SUM(CASE WHEN two_pass_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_two_pass_ok,
+       CAST(SUM(CASE WHEN dims_match THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_match,
+       CAST(SUM(CASE WHEN psnr_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_psnr_ok,
+       CAST(SUM(CASE WHEN phash_match THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_match,
+       ROUND(
+         CAST(SUM(CASE WHEN psnr_regen <> 'infinity'::DOUBLE
+                       THEN CAST(psnr_regen AS DECIMAL(28,6)) END) AS DOUBLE)
+         / SUM(CASE WHEN psnr_regen <> 'infinity'::DOUBLE THEN 1 END),
+       2) AS avg_psnr_lossy
+FROM {_sidecar_glob()}
+GROUP BY fmt
+"""
+
+
+@register("images_integrity_summary", oracle=_INTEG_SUMMARY_ORACLE)
 def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-island rollup per (fmt): decode/psnr/phash gate pass
-    counts — the vectorized Arrow pixel path exercised end-to-end."""
+    counts — the vectorized Arrow pixel path exercised end-to-end.
+    Oracle: the known-answer integrity sidecar (pqc/fixtures.py
+    ``ensure_integrity_sidecar`` — per-row gate outcomes rederived
+    single-node at fixture time), so the driver hash proves the
+    distributed island reproduces the reference decode bit-for-bit.
+    The lossy-PSNR mean is decimal-summed (pqc/exprs.py dsum rationale)
+    so the rollup is order-independent across engines."""
     from pqc.constraints import SuiteContext
+    from pqc.exprs import DEC
 
     ctx = SuiteContext(images=_images(spark))
     defer_release(ctx.release)
     integ = ctx.integrity()
+    lossy = F.when(F.col("psnr_regen") != float("inf"), F.col("psnr_regen"))
     return (
         integ.groupBy("fmt")
         .agg(
@@ -305,9 +306,11 @@ def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dims_match").cast("int")).alias("n_dims_match"),
             F.sum(F.col("psnr_ok").cast("int")).alias("n_psnr_ok"),
             F.sum(F.col("phash_match").cast("int")).alias("n_phash_match"),
-            F.round(F.avg(F.when(F.col("psnr_regen") != float("inf"), F.col("psnr_regen"))), 2).alias(
-                "avg_psnr_lossy"
-            ),
+            F.round(
+                F.sum(lossy.cast(DEC)).cast("double")
+                / F.sum(F.when(lossy.isNotNull(), 1)),
+                2,
+            ).alias("avg_psnr_lossy"),
         )
         .orderBy("fmt")
     )
@@ -575,3 +578,237 @@ def images_relational_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection)."""
     res = _relational_suite_result(spark)
     return res.verdicts.orderBy("part", "constraint")
+
+
+# ---------------------------------------------------------------------------
+# FULL suite rollups, now hash-checked (r4 verdict "What's missing" #2):
+# the decode-gated constraint slice gets its expected outcomes from the
+# known-answer integrity sidecar (pqc/fixtures.py ensure_integrity_sidecar,
+# the media-island pattern), the relational slice reuses the oracled SQL
+# above, and the near-dup + text slices re-derive their violation rows
+# from first principles — so images_suite_verdicts / images_violation_rows
+# stop being rows-only and every registered query has a DuckDB twin.
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_SQL = "('jpeg', 'lsy', 'png')"
+
+SUITE_CONSTRAINT_NAMES = (
+    "uniqueness:image_id",
+    "referential:image_id->image_dim",
+    "range:w,h in [1,4096]",
+    "domain:fmt",
+    "not_null:caption",
+    "not_null:bytes",
+    "integrity:decode",
+    "integrity:two_pass_agreement",
+    "integrity:dims_cross_check",
+    "integrity:psnr>=40dB",
+    "integrity:phash_cross_check",
+    "near_dup:phash_hamming<=6",
+    "text:banned_ingredient",
+    "text:needs_review",
+)
+
+
+def _suite_with_body() -> str:
+    """WITH-body deriving the FULL suite's violation rows (`allv`) —
+    relational slice (shared CTEs above) + integrity gates from the
+    sidecar + quadratic-truth near-dup pairs + the two-stage caption
+    screen, each with the exact detail strings the engine emits."""
+    integrity_v = f"""
+  SELECT image_id, part, 'not_null:bytes' AS "constraint",
+         'null payload' AS detail
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND decode_error = 'null payload'
+  UNION ALL
+  SELECT image_id, part, 'integrity:decode', decode_error
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND NOT decode_ok
+    AND decode_error <> 'null payload'
+  UNION ALL
+  SELECT image_id, part, 'integrity:two_pass_agreement', 'passes disagree'
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND decode_ok AND NOT two_pass_ok
+  UNION ALL
+  SELECT image_id, part, 'integrity:dims_cross_check',
+         'declared ' || CAST(w AS VARCHAR) || '×' || CAST(h AS VARCHAR)
+         || ' actual ' || CAST(actual_w AS VARCHAR) || '×' || CAST(actual_h AS VARCHAR)
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND decode_ok AND NOT dims_match
+  UNION ALL
+  SELECT image_id, part, 'integrity:psnr>=40dB',
+         'psnr_regen=' || CAST(ROUND(psnr_regen, 2) AS VARCHAR)
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND decode_ok AND NOT psnr_ok
+  UNION ALL
+  SELECT image_id, part, 'integrity:phash_cross_check',
+         'stored=' || CAST(phash AS VARCHAR)
+         || ' recomputed=' || CAST(phash_recomputed AS VARCHAR)
+         || ' hamming=' || CAST(phash_hamming AS VARCHAR)
+  FROM sc WHERE fmt IN {_SUPPORTED_SQL} AND decode_ok AND NOT phash_match
+"""
+    near_dup_v = f"""
+  SELECT b.image_id, b.part, 'near_dup:phash_hamming<=6',
+         'near-dup of ' || a.image_id || ' hamming='
+         || CAST(bit_count(xor(a.phash, b.phash)) AS VARCHAR)
+  FROM ndm a JOIN ndm b ON a.seq < b.seq
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    AND EXISTS (
+      SELECT 1 FROM ndcold ca
+      JOIN ndcold cb ON ca.band_idx = cb.band_idx AND ca.band_val = cb.band_val
+      WHERE ca.seq = a.seq AND cb.seq = b.seq
+    )
+"""
+    text_v = """
+  SELECT image_id, part,
+         CASE WHEN match_kind = 'exact' AND syn_type = 'Banned'
+              THEN 'text:banned_ingredient' ELSE 'text:needs_review' END,
+         CASE WHEN match_kind = 'exact' AND syn_type = 'Banned'
+              THEN canonical || ' in segment ''' || segment || ''''
+              ELSE canonical || ' (' || match_kind || ' '
+                   || CAST(ROUND(score, 1) AS VARCHAR)
+                   || ') in ''' || segment || ''''
+         END
+  FROM tbest
+  WHERE rk = 1 AND ((match_kind = 'exact' AND syn_type = 'Banned')
+                    OR match_kind = 'fuzzy' OR syn_type = 'Restricted')
+"""
+    return f"""{_REL_VIOLATIONS_SQL},
+sc AS (SELECT * FROM {_sidecar_glob()}),
+bp AS (SELECT * FROM (VALUES {_band_pair_values()}) AS bp(band_idx, bi, bj)),
+ndm AS (SELECT seq, image_id, part, phash FROM {_meta_glob()} WHERE phash IS NOT NULL),
+ndbands AS (
+  SELECT ndm.seq, bp.band_idx,
+         CAST(((phash >> (bi * 8)) & 255) * 256 + ((phash >> (bj * 8)) & 255)
+              AS BIGINT) AS band_val
+  FROM ndm, bp
+),
+ndsizes AS (SELECT band_idx, band_val, COUNT(*) AS nn FROM ndbands GROUP BY 1, 2),
+ndcold AS (
+  SELECT b.seq, b.band_idx, b.band_val
+  FROM ndbands b JOIN ndsizes s USING (band_idx, band_val)
+  WHERE s.nn <= {_BAND_CAP}
+),
+tcap AS (SELECT image_id, part, caption FROM m WHERE caption IS NOT NULL),
+tnorm AS (
+  SELECT image_id, part,
+         trim(regexp_replace(lower({_mojibake_repair_sql('caption')}), '\\s+', ' ', 'g')) AS cp
+  FROM tcap
+),
+tseg0 AS (
+  SELECT image_id, part,
+         unnest(regexp_split_to_array(
+           regexp_replace(cp, '\\band\\b', ',', 'g'), '[;,.()/\\[\\]]')) AS s
+  FROM tnorm
+),
+tsegs AS (
+  SELECT image_id, part, trim(s) AS segment FROM tseg0 WHERE length(trim(s)) >= 2
+),
+tuniq AS (SELECT DISTINCT segment FROM tsegs),
+tdim AS (
+  SELECT * FROM (VALUES
+        {_caption_dim_values()}
+  ) AS d(canonical, syn_type, variant, pattern)
+),
+texact AS (
+  SELECT u.segment, d.canonical, d.syn_type,
+         'exact' AS match_kind, CAST(100.0 AS DOUBLE) AS score
+  FROM tuniq u JOIN tdim d ON regexp_matches(' ' || u.segment || ' ', d.pattern)
+),
+tgrams AS ({word_grams_sql('tuniq', 'segment')}),
+tfz AS (
+  SELECT g.segment, d.canonical, d.syn_type,
+         1 - CAST(levenshtein(g.gram, d.variant) AS DOUBLE)
+             / GREATEST(length(g.gram), length(d.variant)) AS ratio
+  FROM tgrams g JOIN tdim d
+    ON ABS(length(g.gram) - length(d.variant)) <= GREATEST(2, length(d.variant) * 0.25)
+   AND length(d.variant) >= 4
+),
+tfuzzy AS (
+  SELECT segment, canonical, syn_type, 'fuzzy' AS match_kind,
+         MAX(ratio * 100) AS score
+  FROM tfz WHERE ratio >= 0.85
+  GROUP BY segment, canonical, syn_type
+),
+tfuzzy2 AS (
+  SELECT f.* FROM tfuzzy f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM texact e
+    WHERE e.segment = f.segment AND e.canonical = f.canonical
+  )
+),
+thits AS (SELECT * FROM texact UNION ALL SELECT * FROM tfuzzy2),
+tjoined AS (
+  SELECT s.image_id, s.part, h.canonical, h.syn_type, h.match_kind, h.score, h.segment
+  FROM tsegs s JOIN thits h ON s.segment = h.segment
+),
+tbest AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY image_id, canonical, syn_type
+           ORDER BY CASE WHEN match_kind = 'exact' THEN 1 ELSE 0 END DESC,
+                    score DESC, segment DESC
+         ) AS rk
+  FROM tjoined
+),
+allv AS (
+  SELECT image_id, part, "constraint", detail FROM v
+  UNION ALL
+{integrity_v}
+  UNION ALL
+{near_dup_v}
+  UNION ALL
+{text_v}
+)"""
+
+
+_SUITE_VIOL_ORACLE = f"""
+WITH {_suite_with_body()}
+SELECT image_id, part, "constraint", detail FROM allv
+"""
+
+_SUITE_NAMES_SQL = ", ".join(f"('{n}')" for n in SUITE_CONSTRAINT_NAMES)
+
+_SUITE_VERDICTS_ORACLE = f"""
+WITH {_suite_with_body()},
+parts AS (SELECT part, COUNT(*) AS n_checked FROM m GROUP BY part),
+names("constraint") AS (VALUES {_SUITE_NAMES_SQL}),
+vc AS (
+  SELECT part, "constraint", COUNT(*) AS n_violations
+  FROM allv GROUP BY part, "constraint"
+)
+SELECT p.part, n."constraint", p.n_checked,
+       COALESCE(vc.n_violations, 0) AS n_violations,
+       COALESCE(vc.n_violations, 0) = 0 AS passed
+FROM parts p CROSS JOIN names n
+LEFT JOIN vc ON vc.part = p.part AND vc."constraint" = n."constraint"
+"""
+
+
+def _full_suite_result(spark: SparkSession):
+    from pqc.constraints import SuiteContext
+    from pqc.engine import ValidationSuite
+    from pqc.fixtures import generate_image_dim
+
+    images = _images(spark)
+    ctx = SuiteContext(images=images, image_dim=generate_image_dim(images))
+    res = ValidationSuite().run(ctx)
+    defer_release(res.release)  # caches freed when the next query runs
+    return res
+
+
+@register("images_suite_verdicts", oracle=_SUITE_VERDICTS_ORACLE)
+def images_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full constraint suite over the images fixture → per-partition
+    verdict table (part, constraint, n_checked, n_violations, passed).
+    The north-rule surface. Hash-checked end-to-end since r5: the
+    oracle re-derives every one of the 14 constraints' counts — the
+    decode-gated gates from the known-answer sidecar, the relational /
+    near-dup / text slices from first principles in SQL."""
+    res = _full_suite_result(spark)
+    return res.verdicts.orderBy("part", "constraint")
+
+
+@register("images_violation_rows", oracle=_SUITE_VIOL_ORACLE)
+def images_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failed-rows surface (`app.py:1516-1521` analogue): every
+    violating record with constraint + evidence detail — including the
+    exact detail strings (decode errors, declared-vs-actual dims,
+    phash hamming evidence, winning text segments + scores), all
+    re-derived independently by the DuckDB twin."""
+    res = _full_suite_result(spark)
+    return res.violations.orderBy("constraint", "image_id")
