@@ -163,6 +163,14 @@ def _unstuff_scan(data: bytes, pos: int) -> np.ndarray:
     end = int(real[0])
     if int(buf[end + 1]) != 0xD9:
         raise ValueError(f"unexpected marker 0xFF{int(buf[end + 1]):02X} in scan")
+    # per T.81 the scan ends at the FIRST 0xFF of the maximal fill run
+    # before the marker (a data 0xFF is always followed by a stuffed
+    # 0x00, so any 0xFF directly followed by 0xFF is necessarily fill);
+    # keeping run-internal fills as data would bit-unstuff them as
+    # 1-bits and could mis-decode a stream whose bit budget is not yet
+    # exhausted at the fill (r4 advice)
+    while end > 0 and buf[end - 1] == 0xFF:
+        end -= 1
     stuffed = ff[(nxt == 0x00) & (ff < end)]
     return np.delete(buf[:end], stuffed + 1)
 

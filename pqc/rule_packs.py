@@ -250,6 +250,122 @@ def per_serving_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-serving sanity, bulk tier (r4 verdict item 4): the same arithmetic
+# over a generated multi-thousand-row catalog parquet so the scan-scale
+# plan shape has driver evidence (the inline fixture above proves the
+# boundary semantics; this proves the scan → filter → hash-aggregate
+# plan with typo slices injected at deterministic residues).
+# ---------------------------------------------------------------------------
+
+N_SERVING_BULK = 5000
+_SERVING_BULK_SEED = 883
+
+
+def _serving_bulk_row(i: int) -> dict:
+    import numpy as np
+
+    rng = np.random.default_rng(_SERVING_BULK_SEED * 65_537 + i)
+    unit = ("g", "mg", "ug", "mcg")[i % 4]
+    scope = "per_100g" if i % 9 == 0 else "per_serving"
+    serving = float(rng.integers(10, 100)) / 2.0  # 5..50 g
+    # amounts sized to their unit so healthy rows sit under the serving
+    base = {"g": rng.integers(1, 40) / 10.0,       # 0.1-4 g
+            "mg": float(rng.integers(1, 2000)),    # ≤2 g
+            "ug": float(rng.integers(1, 900)),
+            "mcg": float(rng.integers(1, 900))}[unit]
+    if i % 11 == 0:  # unit-typo slice: value entered in the wrong scale
+        base = base * 1000.0
+    if i % 23 == 0:  # microgram-scale dose keyed in as grams (ratio > 5000)
+        unit = "g"
+        base = float(rng.integers(280_000, 600_000))
+    return {
+        "sku_id": f"sku_{i:06d}",
+        "scope": scope,
+        "amount_value": float(base),
+        "amount_unit": unit,
+        "serving_size_g": serving,
+    }
+
+
+def _serving_bulk_path() -> str:
+    return f"/tmp/pqc_fixtures/serving_bulk_n{N_SERVING_BULK}_v2"
+
+
+_SERVING_BULK_ORACLE = f"""
+WITH s AS (SELECT * FROM read_parquet('{_serving_bulk_path()}/*.parquet')),
+conv AS (
+  SELECT sku_id, scope, serving_size_g,
+         amount_value * {_UNIT_TO_G_SQL} AS amount_g
+  FROM s
+),
+m AS (
+  SELECT sku_id, amount_g, serving_size_g,
+         (scope = 'per_serving' AND amount_g > serving_size_g + 0.000001) AS flagged,
+         CASE
+           WHEN NOT (scope = 'per_serving' AND amount_g > serving_size_g + 0.000001)
+             THEN NULL
+           WHEN amount_g / serving_size_g > 5000 THEN 'ug'
+           WHEN amount_g / serving_size_g > 5 THEN 'mg'
+           ELSE 'review'
+         END AS suggested_fix
+  FROM conv
+)
+SELECT flagged, suggested_fix, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(amount_g AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_amount_g
+FROM m GROUP BY flagged, suggested_fix
+"""
+
+
+def _ensure_serving_bulk(spark: SparkSession) -> str:
+    from pqc.fixtures import ensure_generated_parquet
+
+    return ensure_generated_parquet(
+        spark, _serving_bulk_path(), N_SERVING_BULK, _serving_bulk_row,
+        "sku_id string, scope string, amount_value double, "
+        "amount_unit string, serving_size_g double",
+    )
+
+
+@register("per_serving_sanity_bulk", oracle=_SERVING_BULK_ORACLE)
+def per_serving_sanity_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`per_serving_sanity` at catalog scale: 5000 generated rows with
+    deterministic unit-typo slices, same flag/fix ladder, rolled up per
+    (flagged, suggested_fix) with a decimal-exact mass total. Plan:
+    parquet scan (column-pruned) → scalar expressions → one map-side-
+    combined hash aggregate — no dim, no shuffle beyond the combine."""
+    from pqc.exprs import dsum
+
+    _ensure_serving_bulk(spark)
+    s = spark.read.parquet(_serving_bulk_path())
+    factor = (
+        F.when(F.col("amount_unit") == "g", 1.0)
+        .when(F.col("amount_unit") == "mg", 0.001)
+        .when(F.col("amount_unit").isin("ug", "mcg", "µg"), 0.000001)
+        .otherwise(F.lit(None))
+    )
+    amount_g = F.col("amount_value") * factor
+    flagged = (F.col("scope") == "per_serving") & (
+        amount_g > F.col("serving_size_g") + 0.000001
+    )
+    ratio = amount_g / F.col("serving_size_g")
+    fix = (
+        F.when(~flagged, F.lit(None))
+        .when(ratio > 5000, "ug")
+        .when(ratio > 5, "mg")
+        .otherwise("review")
+    )
+    m = s.select(
+        amount_g.alias("amount_g"),
+        flagged.alias("flagged"),
+        fix.alias("suggested_fix"),
+    )
+    return m.groupBy("flagged", "suggested_fix").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dsum(F.col("amount_g")), 6).alias("sum_amount_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # E-number canonicalisation (P5, banningredients.py:110-117)
 # ---------------------------------------------------------------------------
 

@@ -342,6 +342,12 @@ SELECT qid, centroid_id, cid, ROUND(cos, 8) AS cosine, rk FROM (
 """
 
 
+# cache-key token for the persisted IVF index: bump on ANY change to
+# _lloyd_refined_centroids / seed selection, or warm caches silently
+# serve centroids trained by the old code
+_IVF_INDEX_VERSION = "v2"
+
+
 def _cached_trained_centroids(
     spark: SparkSession, sf_dir: str, emb: DataFrame, iters: int = 1
 ) -> DataFrame:
@@ -353,18 +359,30 @@ def _cached_trained_centroids(
     cached index is indistinguishable from a fresh training run — the
     oracles (which re-derive training in SQL) stay hash-green either
     way. Keyed on file size+mtime like the other /tmp/pqc_fixtures
-    caches (the documented delete-to-reset ritual applies)."""
+    caches (the documented delete-to-reset ritual applies), PLUS a
+    training-algorithm version token — bump _IVF_INDEX_VERSION with
+    any _lloyd_refined_centroids change or stale indexes serve old
+    centroids silently. Published atomically (write to a temp dir,
+    rename into place): the r4 check-then-overwrite raced concurrent
+    pqc sessions on this shared host."""
     import os
+    import shutil
 
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_size}_{int(st.st_mtime)}_k{IVF_N_CENTROIDS}_i{iters}"
+        f"_{_IVF_INDEX_VERSION}"
     )
     path = f"/tmp/pqc_fixtures/ivf_cent_{key}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        _lloyd_refined_centroids(emb, iters).write.mode("overwrite").parquet(path)
+        tmp = f"{path}.build{os.getpid()}"
+        _lloyd_refined_centroids(emb, iters).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic publish; loser keeps winner's copy
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -307,7 +307,7 @@ wmin AS (
   FROM grams
 )
 SELECT DISTINCT doc_id, fingerprint
-FROM wmin WHERE i <= n - {WINNOW_W} + 1
+FROM wmin WHERE i <= GREATEST(n - {WINNOW_W} + 1, 1)
 """
 
 
@@ -360,7 +360,11 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
             F.min("h").over(win).alias("fingerprint"),
             F.count(F.lit(1)).over(cnt).alias("n"),
         )
-        .filter(F.col("i") <= F.col("n") - WINNOW_W + 1)
+        # docs with fewer than W grams (K..K+W-2 tokens) still emit ONE
+        # fingerprint — min over all grams, the standard sub-window
+        # winnowing rule (r4 advice: they were invisible to
+        # copy-detection before; the i=1 frame already spans them all)
+        .filter(F.col("i") <= F.greatest(F.col("n") - WINNOW_W + 1, F.lit(1)))
         .select("doc_id", "fingerprint")
         .dropDuplicates()
     )

@@ -288,3 +288,37 @@ def test_winnowing_shared_run_guarantee(spark):
     assert by_doc["a"] & by_doc["b"], "shared 7-word run must share a fingerprint"
     assert not (by_doc["a"] & by_doc["c"])
     assert not (by_doc["b"] & by_doc["c"])
+
+
+def test_winnowing_short_docs_emit_min_gram(spark):
+    """Sub-window docs (k..k+w-2 tokens → 1..w-1 grams) must emit
+    exactly one fingerprint — min over all their grams — instead of
+    being invisible to copy-detection (r4 advice). An identical short
+    doc pair must therefore collide."""
+    from pyspark.sql import functions as F
+
+    from pqc.exprs import hash64
+    from pqc.text import WINNOW_K, WINNOW_W, winnow_fps
+
+    short = "tiny duplicated phrase here nine"  # 5 tokens → 2 grams
+    assert WINNOW_K <= len(short.split()) < WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [("s1", short), ("s2", short), ("s3", "other words entirely different")],
+        "doc_id string, text string",
+    )
+    fps = winnow_fps(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert len(by_doc["s1"]) == 1 and by_doc["s1"] == by_doc["s2"]
+    assert by_doc["s3"] and not (by_doc["s1"] & by_doc["s3"])
+    # the emitted value IS the min gram hash
+    toks = short.split()
+    grams = [" ".join(toks[i : i + WINNOW_K]) for i in range(len(toks) - WINNOW_K + 1)]
+    expected = (
+        spark.createDataFrame([(g,) for g in grams], "g string")
+        .select(hash64(F.col("g")).alias("h"))
+        .agg(F.min("h"))
+        .first()[0]
+    )
+    assert by_doc["s1"] == {expected}
