@@ -288,7 +288,9 @@ def ensure_generated_parquet(
 
 
 def integrity_sidecar_path(n_rows: int = 2000) -> str:
-    return f"/tmp/pqc_fixtures/images_integrity_sidecar_n{n_rows}.parquet"
+    # v2: + thumb / thumb_mean feature columns (bump on ANY schema or
+    # gate-semantics change — stale sidecars silently fail oracles)
+    return f"/tmp/pqc_fixtures/images_integrity_sidecar_n{n_rows}_v2.parquet"
 
 
 def _sidecar_row(i: int) -> dict:
@@ -353,6 +355,8 @@ def ensure_integrity_sidecar(n_rows: int = 2000) -> str:
                 ("phash_recomputed", pa.int64()),
                 ("phash_hamming", pa.int32()),
                 ("phash_match", pa.bool_()),
+                ("thumb", pa.list_(pa.float64())),
+                ("thumb_mean", pa.float64()),
             ]
         )
         cols = {k: [r[k] for r in rows] for k in rows[0]}

@@ -54,8 +54,34 @@ INTEGRITY_SCHEMA = (
     "decode_ok boolean, decode_error string, actual_w int, actual_h int, "
     "dims_match boolean, two_pass_ok boolean, psnr_regen double, "
     "psnr_ok boolean, phash_recomputed long, phash_hamming int, "
-    "phash_match boolean"
+    "phash_match boolean, thumb array<double>, thumb_mean double"
 )
+
+THUMB_GRID = 4  # 4×4 block-mean luma thumbnail (row-major, 16 doubles)
+
+
+def _thumb_features(arr: np.ndarray) -> tuple[list[float] | None, float | None]:
+    """Resize-style feature extraction riding the decode island's
+    single bytes scan (the multimodal 'decode / feature-extract /
+    resize' axis): a THUMB_GRID² block-mean luma thumbnail plus its
+    scalar mean, computed in float64 from the decoded pixels. Pure
+    deterministic numpy — the fixture-time sidecar reruns this exact
+    function, so the oracle checks the doubles bit-for-bit."""
+    h, w = arr.shape[:2]
+    if h < THUMB_GRID or w < THUMB_GRID:
+        return None, None
+    luma = (
+        0.299 * arr[..., 0].astype(np.float64)
+        + 0.587 * arr[..., 1].astype(np.float64)
+        + 0.114 * arr[..., 2].astype(np.float64)
+    )
+    cells = []
+    for i in range(THUMB_GRID):
+        y0, y1 = i * h // THUMB_GRID, (i + 1) * h // THUMB_GRID
+        for j in range(THUMB_GRID):
+            x0, x1 = j * w // THUMB_GRID, (j + 1) * w // THUMB_GRID
+            cells.append(float(luma[y0:y1, x0:x1].mean()))
+    return cells, float(np.mean(cells))
 
 
 def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
@@ -71,6 +97,8 @@ def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
         "phash_recomputed": None,
         "phash_hamming": None,
         "phash_match": False,
+        "thumb": None,
+        "thumb_mean": None,
     }
     if fmt is None or fmt not in SUPPORTED_FORMATS:
         out["decode_error"] = f"unsupported format {fmt!r}"
@@ -89,6 +117,7 @@ def _check_one(data: bytes | None, fmt: str | None, w, h, phash_col) -> dict:
         return out
     out["decode_ok"] = True
     out["two_pass_ok"] = bool(np.array_equal(arr, arr2))
+    out["thumb"], out["thumb_mean"] = _thumb_features(arr)
     ah, aw = arr.shape[:2]
     out["actual_w"], out["actual_h"] = int(aw), int(ah)
     out["dims_match"] = (w is not None and h is not None) and (
@@ -148,6 +177,8 @@ def decode_integrity(images: DataFrame) -> DataFrame:
         "phash_recomputed": "Int64",
         "phash_hamming": "Int32",
         "phash_match": "bool",
+        "thumb": "object",  # list<double> / None
+        "thumb_mean": "float64",
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -316,6 +316,44 @@ def images_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THUMB_ORACLE = f"""
+SELECT seq, fmt,
+       thumb[1] AS tl, thumb[4] AS tr, thumb[13] AS bl, thumb[16] AS br,
+       thumb_mean
+FROM {_sidecar_glob()} WHERE decode_ok
+"""
+
+
+@register("images_thumbnail_profile", oracle=_THUMB_ORACLE)
+def images_thumbnail_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/feature-extract over the decode island's single bytes
+    scan (the multimodal pipeline axis: decode → thumbnail → feature):
+    a 4×4 block-mean luma thumbnail per decodable image, surfaced as
+    its corner cells + scalar mean. The island computes it from the
+    decoded pixels in the same Arrow pass as the integrity gates —
+    bytes are still scanned exactly once — and the known-answer
+    sidecar rederives the identical float64s single-node, so the
+    driver hash checks the distributed decode+resize bit-for-bit."""
+    from pqc.constraints import SuiteContext
+
+    ctx = SuiteContext(images=_images(spark))
+    defer_release(ctx.release)
+    integ = ctx.integrity()
+    return (
+        integ.filter(F.col("decode_ok"))
+        .select(
+            "seq",
+            "fmt",
+            F.element_at("thumb", 1).alias("tl"),
+            F.element_at("thumb", 4).alias("tr"),
+            F.element_at("thumb", 13).alias("bl"),
+            F.element_at("thumb", 16).alias("br"),
+            "thumb_mean",
+        )
+        .orderBy("seq")
+    )
+
+
 def _ks_case_sql(base_glob: str, other_glob: str, label: str) -> str:
     """One drift-verdict row: two-sample KS over `w`, mirroring
     pqc/constraints/drift.py (group by value → cumulative counts over

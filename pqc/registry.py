@@ -97,66 +97,68 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # appears, just later. r2-green queries displaced past slot 50 keep
 # their r2 artifact as evidence.
 DRIVER_PRIORITY: list[str] = [
-    # -- r3 red rows, fixed in r4 (HUGEINT oracle-type bug) — must
-    #    produce hash-green driver evidence this round
-    "column_stats_profile",
-    "images_partition_stats",
-    "ledger_partition_fingerprints",
-    # -- new in r4: relational slice of the suite rollups (DuckDB twins)
-    "images_relational_violations",
-    "images_relational_verdicts",
-    # -- changed in r4: de-vacuated (seeded non-empty) near-dup rows,
-    #    trained-centroid IVF, sidecar-oracled media features
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_bucketed",
-    "images_near_dup_hot_buckets",
-    "ivf_ann_topk",
-    "ivf_multiprobe_topk",
-    "media_decode_features",
-    # -- the 29 r2-green queries displaced from the r3 window, rotated
-    #    back so every query is green in the r3∪r4 artifacts
-    "quality_score",
-    "doc_fingerprint",
-    "competitor_topk_match",
-    "npm_hfss_score",
-    "per_serving_sanity",
-    "enumber_canonicalization",
-    "pack_size_parse",
-    "unit_normalization",
-    "ingredient_presence_map",
-    "fnv_accumulation",
-    "user_event_type_sets",
-    "max_by_selection",
-    "bbox_iou_merge",
-    "json_extraction",
-    "spelling_check",
-    "caffeine_age_restriction",
-    "vegan_flag_conflict",
-    "legal_category_format",
-    "daily_dose_extractor",
-    "nutrition_claim_detect",
-    "pmo_category_classify",
-    "methylated_vitamin_check",
-    "novel_food_screen",
-    "address_quality_score",
-    "claims_capped_ranking",
-    "html_strip",
-    "allergen_bold_check",
-    "medicinal_language_flag",
-    "shelf_label_validation",
-    # -- new r4 operators (transitive clustering, tf-idf salience,
-    #    SRP-LSH bucketed near-dup)
-    "near_dup_clusters",
-    "tfidf_top_terms",
+    # -- new in r5: production-dial MinHash + the three bulk-tier rule
+    #    packs (never driver-checked)
+    "minhash_lsh_dedup_k128",
+    "nutrition_claim_detect_bulk",
+    "ingredient_presence_map_bulk",
+    "per_serving_sanity_bulk",
+    # -- newly ORACLED in r5 (rows-only before): the full suite
+    #    rollups + the decode-island summary, sidecar-hash-checked;
+    #    plus the new island-ride thumbnail feature query
+    "images_suite_verdicts",
+    "images_violation_rows",
+    "images_integrity_summary",
+    "images_thumbnail_profile",
+    # -- impl changed in r5 (degeneracy guards / interval-merge state /
+    #    short-doc winnowing / versioned IVF index cache) — r4 evidence
+    #    no longer reflects current code
+    "minhash_lsh_dedup",
+    "simhash_near_dup_pairs",
     "srp_lsh_near_dup",
+    "near_dup_clusters",
     "winnowing_fingerprints",
-    "bpe_token_stats",
-    "quantized_knn_topk",
     "streaming_sessionization",
-    "interval_range_join",
-    "hierarchical_time_rollup",
-    # -- rotation of r3-green heavies to keep their evidence fresh
-    "streaming_stateful_dedup",
+    "ivf_ann_topk",
+    # (ivf_multiprobe_topk shares the trained-index path checked via
+    # ivf_ann_topk; its own impl is unchanged and r4-green)
+    # -- the remaining queries whose latest green is r3 — rotated in so
+    #    every query's evidence stays ≤ 2 rounds old (r4∪r5)
+    "asof_join_last_click",
+    "audit_nutritionals_scan",
+    "embedding_norm_stats",
+    "event_cube_rollup",
+    "event_value_pivot",
+    "exact_dup_groups",
+    "food_supplement_check",
+    "free_from_bulk_screen",
+    "gelatin_source_classify",
+    "gluten_contextual_check",
+    "gluten_free_check",
+    "hourly_event_rollup",
+    "images_banned_caption_screen",
+    "images_drift_check",
+    "images_near_dup_pairs",
+    "knn_brute_force_cosine",
+    "ks_drift_statistic",
+    "lang_id_confusion",
+    "market_segment_rollup",
+    "media_frame_sample_plan",
+    "ngram_jaccard_pairs",
+    "nutrient_per100g_extract",
+    "product_name_variant",
+    "prohibited_marketplace_screen",
+    "q1_pricing_summary",
+    "quantile_profile",
+    "range_check_violations",
+    "referential_orphans",
+    "sessionization",
+    "simhash_fingerprint",
+    "streaming_windowed_rollup",
+    "token_count_stats",
+    "top_brands_by_revenue",
+    "topk_orders_per_customer",
+    "uniqueness_violations",
 ]
 
 

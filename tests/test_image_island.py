@@ -93,10 +93,22 @@ def test_jpeg_roundtrip_real_codec():
     with pytest.raises(ValueError):
         decode(data[: len(data) // 2], "jpeg")
 
-    # spec-legal 0xFF fill bytes padding up to EOI (T.81 B.1.1.2) must
-    # be tolerated — foreign baseline JPEGs emit them
+
+def test_jpeg_fill_bytes_before_eoi_are_not_data():
+    """T.81 B.1.1.2: 0xFF fill bytes padding up to a marker end the
+    scan at the FIRST 0xFF of the run — a decoder that keeps
+    run-internal fills as entropy data bit-unstuffs them as 1-bits
+    (r4 advice). A foreign baseline JPEG with fills before EOI must
+    decode identically to the unpadded stream."""
+    from pqc.image.jpeg import jpeg_decode, jpeg_encode
+
+    a = pixels_for(7)
+    data = jpeg_encode(a, quality=90)
+    assert data[-2:] == b"\xff\xd9"
+    padded = data[:-2] + b"\xff" * 5 + b"\xff\xd9"
+    assert np.array_equal(jpeg_decode(padded), jpeg_decode(data))
     filled = data[:-2] + b"\xff\xff" + data[-2:]
-    assert np.array_equal(decode(filled, "jpeg"), out)
+    assert np.array_equal(jpeg_decode(filled), jpeg_decode(data))
 
 
 def test_phash_near_vs_far():
