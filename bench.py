@@ -61,6 +61,8 @@ HEADLINE_QUERIES = (
     "nutrition_claim_detect_bulk",
     "ingredient_presence_map_bulk",
     "per_serving_sanity_bulk",
+    "quality_filter_chain",
+    "stratified_sample",
 )
 
 

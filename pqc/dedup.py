@@ -380,6 +380,18 @@ def _minhash_rep_candidates(
     return cand, membership, hot
 
 
+def _has_collapse_groups(membership: DataFrame) -> bool:
+    """True iff any fingerprint group has >1 member. One tiny job
+    (limit-1 count on the already-pinned membership); when False the
+    collapse was an identity and the representative pairs ARE the
+    member-level output — the expansion joins (3 extra stages whose
+    scheduling floor dominates at small scale) are skipped. The same
+    data-dependent plan choice AQE makes, one level up."""
+    return (
+        membership.filter(F.col("doc_id") != F.col("rep_id")).limit(1).count() > 0
+    )
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame, membership: DataFrame, value_col: str, unit_value
 ) -> DataFrame:
@@ -455,6 +467,8 @@ def _minhash_pairs(
     rep_pairs = jacc.select(
         "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
     )
+    if not _has_collapse_groups(membership):
+        return rep_pairs  # identity collapse: already member-level
     # exact member-level reconstruction: cross pairs inherit the rep
     # pair's Jaccard (same sets ⇒ same score); within-group pairs are
     # identical sets ⇒ Jaccard exactly 1.0 (integer n/(n+n−n))
@@ -673,6 +687,8 @@ def _simhash_rep_candidates(
         .select(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
+            F.col("a.rep_id").alias("ra"),
+            F.col("b.rep_id").alias("rb"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
@@ -691,6 +707,21 @@ def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
     hamming; identical-fingerprint pairs are hamming 0)."""
     rep_pairs, membership, _hot = _simhash_rep_candidates(sig, cap)
     membership = pin(membership)
+    has_dups = (
+        membership.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_dups:
+        # identity collapse: rep ids ARE the doc ids (ra < rb by the
+        # join condition) — emit directly, skipping the 3 expansion
+        # stages whose scheduling floor dominates at small scale
+        return rep_pairs.select(
+            F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b"), "hamming"
+        )
     mem_a = membership.select(F.col("simhash").alias("sim_a"), F.col("doc_id").alias("ma"))
     mem_b = membership.select(F.col("simhash").alias("sim_b"), F.col("doc_id").alias("mb"))
     cross = (

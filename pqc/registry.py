@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "nutrition_claim_detect_bulk",
     "ingredient_presence_map_bulk",
     "per_serving_sanity_bulk",
+    "quality_filter_chain",
+    "stratified_sample",
     # -- newly ORACLED in r5 (rows-only before): the full suite
     #    rollups + the decode-island summary, sidecar-hash-checked;
     #    plus the new island-ride thumbnail feature query
@@ -142,7 +144,6 @@ DRIVER_PRIORITY: list[str] = [
     "knn_brute_force_cosine",
     "ks_drift_statistic",
     "lang_id_confusion",
-    "market_segment_rollup",
     "media_frame_sample_plan",
     "ngram_jaccard_pairs",
     "nutrient_per100g_extract",
@@ -156,7 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_fingerprint",
     "streaming_windowed_rollup",
     "token_count_stats",
-    "top_brands_by_revenue",
     "topk_orders_per_customer",
     "uniqueness_violations",
 ]

@@ -928,6 +928,13 @@ def _srp_pairs(emb: DataFrame, cap: int | None = None) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_COS)
         .select("id_a", "id_b", F.round("cos", 8).alias("cosine"))
     )
+    has_dups = (
+        membership.filter(F.col("vec_id") != F.col("rep_id")).limit(1).count() > 0
+    )
+    if not has_dups:
+        # identity collapse: representative pairs ARE the member pairs —
+        # skip the expansion + self-cosine stages (scheduling floor)
+        return rep_pairs
     mem_a = membership.select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("ma"))
     mem_b = membership.select(F.col("rep_id").alias("id_b"), F.col("vec_id").alias("mb"))
     cross = (

@@ -429,3 +429,155 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style quality filter chain (keep/drop + first-failing reason)
+# ---------------------------------------------------------------------------
+
+# Rule ladder, applied in order; the verdict is the FIRST failing rule
+# (the reason a curation pipeline logs). Thresholds are compared on
+# identically-derived doubles in both engines, so the boolean ladder is
+# bit-stable cross-engine.
+QF_MIN_WORDS = 8
+QF_MAX_WORDS = 5000
+QF_MIN_STOPWORD_RATIO = 0.05
+QF_WORD_LEN_LO, QF_WORD_LEN_HI = 2.0, 12.0
+QF_MIN_LEXICAL_DIVERSITY = 0.30
+QF_MAX_DIGIT_RATIO = 0.30
+
+_QF_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+_QFILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(c='text')} AS tok,
+         {NORM_SQL.format(c='text')} AS nt
+  FROM documents WHERE {_NONEMPTY}
+),
+m AS (
+  SELECT doc_id, lang,
+         len(tok) AS n_words,
+         CAST(len(list_filter(tok, x -> x IN {_QF_STOP_SQL})) AS DOUBLE)
+           / len(tok) AS stop_ratio,
+         CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+           / len(tok) AS mean_word_len,
+         CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS lex_div,
+         CAST(length(nt) - length(regexp_replace(nt, '[0-9]', '', 'g')) AS DOUBLE)
+           / length(nt) AS digit_ratio
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       CASE
+         WHEN n_words < {QF_MIN_WORDS} THEN 'too_short'
+         WHEN n_words > {QF_MAX_WORDS} THEN 'too_long'
+         WHEN stop_ratio < CAST({QF_MIN_STOPWORD_RATIO} AS DOUBLE) THEN 'low_stopword_ratio'
+         WHEN mean_word_len < CAST({QF_WORD_LEN_LO} AS DOUBLE)
+           OR mean_word_len > CAST({QF_WORD_LEN_HI} AS DOUBLE) THEN 'abnormal_word_length'
+         WHEN lex_div < CAST({QF_MIN_LEXICAL_DIVERSITY} AS DOUBLE) THEN 'low_lexical_diversity'
+         WHEN digit_ratio > CAST({QF_MAX_DIGIT_RATIO} AS DOUBLE) THEN 'digit_heavy'
+         ELSE 'keep'
+       END AS verdict
+FROM m
+"""
+
+
+@register("quality_filter_chain", oracle=_QFILTER_ORACLE)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus curation gate: a fixed rule ladder (length /
+    stopword ratio / mean word length / lexical diversity / digit
+    density) whose verdict is 'keep' or the FIRST failing rule — the
+    reason string a training-data pipeline logs per dropped document.
+    Complements `quality_score` (continuous score, same features): the
+    chain is the thresholded production form. Pure array expressions,
+    embarrassingly parallel, no shuffle — at 10^12 docs this is a scan-
+    speed map with the verdict feeding a partitioned filter."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    tok = tokens(F.col("text"))
+    nt = norm_text(F.col("text"))
+    n = F.size(tok)
+    stop_ratio = (
+        F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    mean_word_len = (
+        F.aggregate(F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+        .cast("double") / n
+    )
+    lex_div = F.size(F.array_distinct(tok)).cast("double") / n
+    digit_ratio = (
+        (F.length(nt) - F.length(F.regexp_replace(nt, "[0-9]", ""))).cast("double")
+        / F.length(nt)
+    )
+    verdict = (
+        F.when(n < QF_MIN_WORDS, "too_short")
+        .when(n > QF_MAX_WORDS, "too_long")
+        .when(stop_ratio < QF_MIN_STOPWORD_RATIO, "low_stopword_ratio")
+        .when(
+            (mean_word_len < QF_WORD_LEN_LO) | (mean_word_len > QF_WORD_LEN_HI),
+            "abnormal_word_length",
+        )
+        .when(lex_div < QF_MIN_LEXICAL_DIVERSITY, "low_lexical_diversity")
+        .when(digit_ratio > QF_MAX_DIGIT_RATIO, "digit_heavy")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id", "lang", n.cast("bigint").alias("n_words"), verdict.alias("verdict")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-bucket splits)
+# ---------------------------------------------------------------------------
+
+# per-mille keep rates per language stratum: training mixes are
+# rebalanced by downsampling over-represented strata; the hash-bucket
+# rule makes the sample a PURE FUNCTION of (salt, doc_id) — stable
+# across runs, resumable, joinable (membership recomputable anywhere),
+# and exactly mirrored by the oracle.
+SAMPLE_SALT = "smp1:"
+SAMPLE_RATES_PM = {"en": 500, "de": 300, "fr": 300}
+SAMPLE_DEFAULT_PM = 150
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_PM.items())
+    + f" ELSE {SAMPLE_DEFAULT_PM} END"
+)
+
+_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         {hash64_sql_duckdb(f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))")} % 1000
+           AS bucket
+  FROM documents WHERE {_NONEMPTY}
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM d WHERE bucket < {_RATE_SQL}
+"""
+
+
+@register("stratified_sample", oracle=_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep a document iff
+    hash64(salt || doc_id) mod 1000 falls under its language stratum's
+    per-mille rate. The standard training-mix downsampler at 10^12
+    rows: no RNG state, no shuffle (a scan-speed filter), membership
+    reproducible by any engine from the id alone — which is also what
+    makes train/eval splits leak-proof and resumable. The portable
+    md5-based hash64 (pqc/exprs.py) keeps the bucket assignment — and
+    therefore the exact sampled id set — identical in the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    rate = F.lit(SAMPLE_DEFAULT_PM)
+    for k, v in reversed(SAMPLE_RATES_PM.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.cast("bigint").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
