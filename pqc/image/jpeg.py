@@ -337,30 +337,30 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
-_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-def _lut16(inv: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
-    """(symbol, code-length) lookup tables indexed by a 16-bit peek.
-    Canonical Huffman codes are prefix-free, so every 16-bit window
-    whose prefix is a valid code maps to exactly one entry; windows
-    with no valid prefix keep length 0 (→ decode error). Memoized on
-    the table contents — the island decodes thousands of images that
-    all transmit the standard Annex-K tables, and 4×65536 fills per
-    image would dominate small decodes."""
-    key = tuple(sorted(inv.items()))
-    hit = _LUT_CACHE.get(key)
+def _lut16(inv: dict[tuple[int, int], int], raw_key: bytes) -> list[int]:
+    """Packed (code-length << 8 | symbol) lookup table indexed by a
+    16-bit peek. Canonical Huffman codes are prefix-free, so every
+    16-bit window whose prefix is a valid code maps to exactly one
+    entry; windows with no valid prefix keep 0 (→ entry < 256 →
+    decode error). One list index per symbol in the hot loop instead
+    of two (r5 — measured neutral at 128²: the loop is bound by the
+    peek arithmetic, not the lookup count; kept for the simpler cache
+    story). Memoized on the raw DHT segment bytes — the island decodes
+    thousands of images that all transmit the standard Annex-K tables,
+    and the bytes key avoids re-sorting the code dict per decode."""
+    hit = _LUT_CACHE.get(raw_key)
     if hit is not None:
         return hit
-    sym = np.zeros(65536, dtype=np.int64)
-    ln = np.zeros(65536, dtype=np.int64)
+    packed = np.zeros(65536, dtype=np.int64)
     for (length, code), s in inv.items():
         lo = code << (16 - length)
-        sym[lo : lo + (1 << (16 - length))] = s
-        ln[lo : lo + (1 << (16 - length))] = length
-    out = (sym.tolist(), ln.tolist())
+        packed[lo : lo + (1 << (16 - length))] = (length << 8) | s
+    out = packed.tolist()
     if len(_LUT_CACHE) < 64:  # bound: foreign files with exotic tables
-        _LUT_CACHE[key] = out
+        _LUT_CACHE[raw_key] = out
     return out
 
 
@@ -405,7 +405,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         code += 1
                         k += 1
                     code <<= 1
-                htabs[(tclass, tid)] = inv
+                htabs[(tclass, tid)] = (inv, bytes(payload[p : p + 17 + nv]))
                 p += 17 + nv
         elif marker == 0xFFC0:
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
@@ -464,7 +464,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         | (padded[2:-1].astype(np.uint32) << 8)
         | padded[3:].astype(np.uint32)
     ).tolist()
-    luts = {key: _lut16(tab) for key, tab in htabs.items()}
+    luts = {key: _lut16(inv, raw) for key, (inv, raw) in htabs.items()}
 
     # coefficients land in two flat lists: a linear index into the
     # (3, n_blocks, 64) tensor (base precomputed per block-component)
@@ -478,17 +478,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if bp > total_bits:
             raise ValueError("truncated JPEG scan")
         for fidx, dc_tid, ac_tid, _qsel in scan_sel:
-            dsym, dlen = luts[(0, dc_tid)]
-            asym, alen = luts[(1, ac_tid)]
+            dlut = luts[(0, dc_tid)]
+            alut = luts[(1, ac_tid)]
             base = (fidx * n_blocks + blk) << 6
             byte = bp >> 3
             sh = bp & 7
             peek = (w32[byte] >> (16 - sh)) & 0xFFFF
-            ln = dlen[peek]
-            if ln == 0:
+            e = dlut[peek]
+            if e < 256:
                 raise ValueError("invalid Huffman code in scan")
-            size = dsym[peek]
-            bp += ln
+            size = e & 255
+            bp += e >> 8
             if size:
                 byte = bp >> 3
                 sh = bp & 7
@@ -505,11 +505,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 byte = bp >> 3
                 sh = bp & 7
                 peek = (w32[byte] >> (16 - sh)) & 0xFFFF
-                ln = alen[peek]
-                if ln == 0:
+                e = alut[peek]
+                if e < 256:
                     raise ValueError("invalid Huffman code in scan")
-                sym = asym[peek]
-                bp += ln
+                sym = e & 255
+                bp += e >> 8
                 if sym == 0x00:  # EOB
                     break
                 run, size = sym >> 4, sym & 0xF
