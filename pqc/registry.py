@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "per_serving_sanity_bulk",
     "quality_filter_chain",
     "stratified_sample",
+    "embedding_near_dup_trained",
     # -- newly ORACLED in r5 (rows-only before): the full suite
     #    rollups + the decode-island summary, sidecar-hash-checked;
     #    plus the new island-ride thumbnail feature query
@@ -137,7 +138,6 @@ DRIVER_PRIORITY: list[str] = [
     "gelatin_source_classify",
     "gluten_contextual_check",
     "gluten_free_check",
-    "hourly_event_rollup",
     "images_banned_caption_screen",
     "images_drift_check",
     "images_near_dup_pairs",

@@ -700,6 +700,93 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "centroid_id", F.round("cos", 8).alias("cosine"))
 
 
+def _trained_cent_sql_over(table: str) -> str:
+    """The shared one-Lloyd-iteration trained-centroid CTE chain,
+    parameterized over the source relation (the IVF queries train on
+    `embeddings`; the trained near-dup variant trains on the augmented
+    corpus CTE)."""
+    return _TRAINED_CENT_SQL.replace("FROM embeddings", f"FROM {table}")
+
+
+_EMB_ND_TRAINED_ORACLE = f"""
+WITH {_AUG_EMB_SQL},
+{_trained_cent_sql_over('aug')},
+scored_assign AS (
+  SELECT e.vec_id, cent.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_dot_sql('e.embedding', 'cent.ce')} /
+                    (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                     * sqrt({_dot_sql('cent.ce', 'cent.ce')})) DESC,
+                    cent.centroid_id ASC
+         ) AS rk
+  FROM aug e CROSS JOIN cent
+),
+side AS (
+  SELECT e.vec_id, e.embedding, s.centroid_id
+  FROM aug e JOIN scored_assign s ON e.vec_id = s.vec_id AND s.rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
+         {_dot_sql('a.embedding', 'b.embedding')} /
+           (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+            * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cos
+  FROM side a JOIN side b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, centroid_id, ROUND(cos, 8) AS cosine
+FROM pairs WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+@register("embedding_near_dup_trained", oracle=_EMB_ND_TRAINED_ORACLE)
+def embedding_near_dup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_near_dup_bucketed` with TRAINED buckets: one
+    decimal-exact Lloyd refinement over the (augmented) corpus replaces
+    the raw seed anchors, then in-bucket pairing + double-prescreen →
+    decimal confirm as before. Closes the r4 note that the bucketed
+    near-dup still used untrained seed assignment while the kNN path
+    trained — on clustered corpora trained buckets concentrate true
+    neighbours (recall table in BASELINE.md §ivf), so the prefilter
+    misses fewer straddling pairs at the same probe budget. The oracle
+    mirrors the full train→assign→pair→confirm chain in SQL."""
+    emb = pin(
+        _augmented_embeddings(spark, sf_dir).withColumn(
+            "nrm", F.sqrt(_norm2(F.col("embedding")))
+        )
+    )
+    cent = _lloyd_refined_centroids(emb, 1)
+    assign = _argmax_assign(emb, cent)
+    side = pin(emb.join(assign, "vec_id"))
+    a = side.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "centroid_id",
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "acos", _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("acos") >= NEAR_DUP_COS - PRESCREEN_EPS)
+        .withColumn(
+            "cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+    )
+    return pairs.select(
+        "id_a", "id_b", "centroid_id", F.round("cos", 8).alias("cosine")
+    )
+
+
 _NORM_ORACLE = f"""
 SELECT label, COUNT(*) AS n_vectors,
        ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 8)

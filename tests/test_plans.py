@@ -126,9 +126,11 @@ def test_similarity_queries_never_plan_cartesian(spark):
     (query-set or centroid set), never an unbounded CartesianProduct."""
     for name in (
         "embedding_near_dup_bucketed",
+        "embedding_near_dup_trained",
         "ivf_multiprobe_topk",
         "simhash_near_dup_pairs",
         "minhash_lsh_dedup",
+        "srp_lsh_near_dup",
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF_DIR_SMALL))
         assert "CartesianProduct" not in plan, name
