@@ -106,6 +106,8 @@ DRIVER_PRIORITY: list[str] = [
     "quality_filter_chain",
     "stratified_sample",
     "embedding_near_dup_trained",
+    "decontamination_screen",
+    "repetition_stats",
     # -- newly ORACLED in r5 (rows-only before): the full suite
     #    rollups + the decode-island summary, sidecar-hash-checked;
     #    plus the new island-ride thumbnail feature query
@@ -126,11 +128,13 @@ DRIVER_PRIORITY: list[str] = [
     # (ivf_multiprobe_topk shares the trained-index path checked via
     # ivf_ann_topk; its own impl is unchanged and r4-green)
     # -- the remaining queries whose latest green is r3 — rotated in so
-    #    every query's evidence stays ≤ 2 rounds old (r4∪r5)
+    #    evidence stays fresh (r4∪r5). Displaced to the r6 window (all
+    #    multi-round green, unchanged impls): top_brands_by_revenue,
+    #    market_segment_rollup, hourly_event_rollup, event_cube_rollup,
+    #    token_count_stats, ivf_multiprobe_topk
     "asof_join_last_click",
     "audit_nutritionals_scan",
     "embedding_norm_stats",
-    "event_cube_rollup",
     "event_value_pivot",
     "exact_dup_groups",
     "food_supplement_check",
@@ -156,7 +160,6 @@ DRIVER_PRIORITY: list[str] = [
     "sessionization",
     "simhash_fingerprint",
     "streaming_windowed_rollup",
-    "token_count_stats",
     "topk_orders_per_customer",
     "uniqueness_violations",
 ]

@@ -581,3 +581,149 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", bucket.cast("bigint").alias("bucket"))
         .filter(F.col("bucket") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination screen (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+# Training-data hygiene: documents sharing word-k-grams with a held-out
+# benchmark/eval set must be flagged (and usually dropped) before
+# training. The eval set here is the "leaked benchmark" scenario —
+# passages drawn from known corpus documents — so the screen flags both
+# the leaked sources and their partial-overlap relatives.
+CONTAM_GRAM_K = 5
+CONTAM_EVAL_IDS = (8, 70, 98, 285, 393)
+
+_CONTAM_IDS_SQL = ", ".join(str(i) for i in CONTAM_EVAL_IDS)
+
+_CONTAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(c='text')} AS tok
+  FROM documents WHERE {_NONEMPTY}
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         {hash64_sql_duckdb(f"array_to_string(tok[i:i+{CONTAM_GRAM_K - 1}], ' ')")} AS hg
+  FROM t, UNNEST(generate_series(1, len(tok) - {CONTAM_GRAM_K - 1})) AS s(i)
+  WHERE len(tok) >= {CONTAM_GRAM_K}
+),
+ev AS (SELECT DISTINCT hg FROM g WHERE doc_id IN ({_CONTAM_IDS_SQL})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_overlap
+  FROM g JOIN ev USING (hg) GROUP BY g.doc_id
+)
+SELECT h.doc_id, h.n_overlap, s.n_grams,
+       ROUND(CAST(h.n_overlap AS DOUBLE) / s.n_grams, 6) AS overlap_ratio,
+       h.doc_id IN ({_CONTAM_IDS_SQL}) AS is_eval_doc
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+@register("decontamination_screen", oracle=_CONTAM_ORACLE)
+def decontamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing at least
+    one word-5-gram with the eval set, with its overlap count and
+    ratio. The eval grams are a broadcast-sized dim (benchmarks are
+    tiny next to corpora); the corpus side is the same hashed-shingle
+    projection the dedup bank uses, so at 10^12 docs this is one
+    broadcast semi-join over 8-byte keys — no second tokenization
+    pass, no shuffle of text. Flags both leaked sources (is_eval_doc)
+    and cross-document partial overlaps (the seeded near-dup
+    relatives of the eval ids), so the driver row checks a mixed
+    result set."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    t = tokens(F.col("text"))
+    k = CONTAM_GRAM_K
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    g = pin(
+        docs.filter(F.size(t) >= k)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+        .select("doc_id", hash64(F.col("s")).alias("hg"))
+    )
+    ev = F.broadcast(
+        g.filter(F.col("doc_id").isin(*CONTAM_EVAL_IDS)).select("hg").dropDuplicates()
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.join(ev, "hg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_grams"), 6).alias(
+            "overlap_ratio"
+        ),
+        F.col("doc_id").isin(*CONTAM_EVAL_IDS).alias("is_eval_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition stats (repetitive-text filter)
+# ---------------------------------------------------------------------------
+
+REP_GRAM_K = 3
+
+_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(c='text')} AS tok
+  FROM documents WHERE {_NONEMPTY}
+),
+g AS (
+  SELECT doc_id,
+         {hash64_sql_duckdb(f"array_to_string(tok[i:i+{REP_GRAM_K - 1}], ' ')")} AS hg
+  FROM t, UNNEST(generate_series(1, len(tok) - {REP_GRAM_K - 1})) AS s(i)
+  WHERE len(tok) >= {REP_GRAM_K}
+),
+pg AS (SELECT doc_id, hg, COUNT(*) AS c FROM g GROUP BY doc_id, hg)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS rep_ratio,
+       CAST(MAX(c) AS BIGINT) AS max_gram_count
+FROM pg GROUP BY doc_id
+"""
+
+
+@register("repetition_stats", oracle=_REP_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitive-text statistics per document: total vs distinct
+    word-3-gram counts, the repeated-gram fraction (the classic
+    "duplicated n-grams" curation filter), and the hottest gram's
+    multiplicity. Unlike the dedup shingle bank this keeps gram
+    MULTIPLICITY (repetition is invisible after dedup). Two hash
+    aggregates over 8-byte gram hashes — map-side combined, shuffle
+    keyed on (doc_id), embarrassingly parallel at corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    t = tokens(F.col("text"))
+    k = REP_GRAM_K
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    g = (
+        docs.filter(F.size(t) >= k)
+        .select("doc_id", F.explode(grams).alias("s"))
+        .select("doc_id", hash64(F.col("s")).alias("hg"))
+    )
+    pg = g.groupBy("doc_id", "hg").agg(F.count(F.lit(1)).alias("c"))
+    return pg.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("rep_ratio"),
+        F.max("c").cast("bigint").alias("max_gram_count"),
+    )
