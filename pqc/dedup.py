@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pqc.exprs import hash64, hash64_sql_duckdb, minhash_perm, minhash_perm_sql
-from pqc.io import load_table
+from pqc.io import load_table, spread
 from pqc.registry import pin, register
 from pqc.text import NORM_SQL, TOKENS_SQL, norm_text, tokens
 
@@ -74,7 +74,7 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, fp) — the 10^12-scale plan; `min(doc_id)` picks the
     deterministic keeper, mirroring the reference's first-wins dedupe
     (`artwork_processing_warnings_advisory.py:240-249`)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     bow_fp = hash64(F.array_join(F.array_sort(tokens(F.col("text"))), " "))
@@ -140,8 +140,10 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
     (df cap, candidate self-join, both intersection sides) keys on the
     8-byte hash instead of the ~25-byte shingle string, so the three
     shuffles of the Jaccard plan carry a third of the bytes. All JVM
-    array ops; the string exists only inside this projection."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    array ops; the string exists only inside this projection.
+    spread(): the one-row-group documents parquet otherwise runs the
+    whole tokenize→shingle→md5 cascade on a single scan task."""
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     t = tokens(F.col("text"))
@@ -149,10 +151,18 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFra
         F.sequence(F.lit(1), F.size(t) - (k - 1)),
         lambda i: F.array_join(F.slice(t, i, k), " "),
     )
+    # hash each shingle BEFORE array_distinct: dedup runs over 8-byte
+    # longs instead of ~25-char strings and the string never survives
+    # the projection — exactly the oracle's shape (its DISTINCT also
+    # applies to the hashed value)
     return (
         docs.filter(F.size(t) >= k)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
-        .select("doc_id", hash64(F.col("s")).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(shingles, lambda s: hash64(s)))
+            ).alias("hs"),
+        )
     )
 
 
@@ -180,12 +190,13 @@ def capped_shingles(sh: DataFrame, cap: int = MAX_SHINGLE_DF) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-4-gram Jaccard ≥ 0.2.
 
-    Inverted-index self-join with a hot-shingle df cap: candidates come
-    from the equi-join over shingles in ≤ MAX_SHINGLE_DF docs (a
-    Catalyst hash join — never a cross join, and never quadratic in a
-    boilerplate shingle's bucket). The candidate join doubles as the
-    COLD-intersection count (GROUP BY pair instead of DISTINCT — same
-    shuffle, one more aggregate), so the full-set verify reduces to
+    Inverted-index aggregate with a hot-shingle df cap: postings are
+    grouped per shingle ONCE, the cap is applied on the grouped
+    buckets, and candidate pairs are generated bucket-locally (never a
+    cross join, never quadratic in a boilerplate shingle's bucket).
+    The bucket-local pair explode doubles as the COLD-intersection
+    count (GROUP BY pair — same shuffle, one more aggregate), so the
+    full-set verify reduces to
     re-joining only the HOT shingle slice for candidate pairs:
     n_common = |cold ∩| + |hot ∩|, exactly the full intersection, with
     the two big verify joins of the r2 plan replaced by joins against
@@ -195,15 +206,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`banningredients.py:172-182`) lifted to pair generation, with the
     same screen→confirm layering as MinHash below.
     """
-    sh = pin(_shingle_df(spark, sf_dir))  # reused: df split, sizes, hot slice
-    cold, hot = split_shingles(sh)
-    cold = pin(cold)
-    a = cold.alias("a")
-    b = cold.alias("b")
-    cold_common = pin(  # feeds hot_common AND inter — pin or the
-        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_cold"))  # self-join runs twice
+    sh = pin(_shingle_df(spark, sf_dir))  # reused: buckets, sizes
+    # ONE inverted-index aggregate replaces the r5 [df count + broadcast
+    # anti-join + semi-join + two-sided self-join] ladder: group the
+    # postings once, apply the df cap on the grouped buckets (identical
+    # cold/hot split semantics), and generate candidate pairs + their
+    # cold-intersection counts bucket-locally (guide §2.4: the band
+    # table is shuffled once, not three times). Buckets are ≤ cap
+    # members by construction, so the double explode is bounded.
+    buckets = pin(sh.groupBy("hs").agg(F.collect_list("doc_id").alias("ds")))
+    cold_common = pin(  # feeds hot_common AND inter
+        buckets.filter((F.size("ds") <= MAX_SHINGLE_DF) & (F.size("ds") >= 2))
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_cold"))
+    )
+    hot = buckets.filter(F.size("ds") > MAX_SHINGLE_DF).select(
+        "hs", F.explode("ds").alias("doc_id")
     )
     hsa = hot.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     hsb = hot.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
@@ -321,16 +342,16 @@ def _minhash_rep_candidates(
        of the shingle sets alone, so every member pair's score equals
        its representative pair's score (reconstructed in
        :func:`_expand_rep_pairs`).
-    2. **Hot-bucket cap** (``pqc/skew.py::capped_band_join``) as the
-       backstop for near-identical-but-distinct sets that still pile
-       into one bucket: buckets above the cap are diverted from the
-       pairwise join (recall via any non-hot band, as in the phash
-       path).
+    2. **Hot-bucket cap** (capped_band_join semantics, fused into the
+       pair-generating groupBy) as the backstop for near-identical-but-
+       distinct sets that still pile into one bucket: buckets above the
+       cap are diverted from pairing (recall via any non-hot band, as
+       in the phash path) and surfaced as stats.
 
     Returns ``(cand_rep_pairs, membership, hot_buckets)`` where
     membership is ``(doc_id, sskey, rep_id, n_members)``.
     """
-    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+    from pqc.skew import DEFAULT_BAND_CAP
 
     n_bands = k // rows
     # ONE groupBy computes the set-key and the signature together: the
@@ -344,8 +365,14 @@ def _minhash_rep_candidates(
             ),
         )
     )
-    sig = sh.groupBy("doc_id").agg(
-        set_key.alias("sskey"), *_minhash_exprs_spark(F.col("hs"), k)
+    # pinned: reps, membership and rep_sig all consume sig — unpinned,
+    # the K-min + sskey aggregate over the full shingle table re-ran
+    # once per consumer (measured as the dominant minhash cost at sf1.0
+    # after the band join itself was fixed)
+    sig = pin(
+        sh.groupBy("doc_id").agg(
+            set_key.alias("sskey"), *_minhash_exprs_spark(F.col("hs"), k)
+        )
     )
     reps = sig.groupBy("sskey").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
@@ -368,13 +395,23 @@ def _minhash_rep_candidates(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band"),
     )
-    cold, hot = capped_band_join(bk, ("band",), cap or DEFAULT_BAND_CAP)
-    cold = pin(cold)
-    a = cold.alias("a")
-    b = cold.alias("b")
+    # ONE pair-generating shuffle with the hot-bucket cap applied on the
+    # grouped buckets (same guard semantics as capped_band_join — hot
+    # buckets diverted from pairing and surfaced as stats — fused so the
+    # band table is aggregated once instead of count-pass + anti-join +
+    # two-sided self-join; the r5 shape shuffled bk three times). Pair
+    # generation is bucket-local (phash-path shape, ≤ cap members).
+    c = cap or DEFAULT_BAND_CAP
+    buckets = bk.groupBy("band").agg(F.collect_list("doc_id").alias("members"))
+    hot = buckets.filter(F.size("members") > c).select(
+        "band", F.size("members").alias("n_members")
+    )
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter((F.size("members") <= c) & (F.size("members") >= 2))
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .dropDuplicates()
     )
     return cand, membership, hot
@@ -563,33 +600,39 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — shared by the fingerprint query and the
     hamming-ball search below."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
-    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("cnt"))
-    tf = tf.select("doc_id", hash64(F.col("tk")).alias("h"), "cnt")
-    bits = (
-        tf.select(
-            "doc_id",
-            "h",
-            "cnt",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-            ).alias("w")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
+    # hash BEFORE the shuffle: grouping term counts by the 60-bit hash
+    # instead of the term string shuffles 8-byte keys (guide §2.3) and
+    # is weight-exact — the oracle's per-(doc, term) rows with equal h
+    # contribute identical signs, so summing their counts first changes
+    # nothing in any bit's weight.
+    tf = tok.select("doc_id", hash64(F.col("tk")).alias("h")).groupBy(
+        "doc_id", "h"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # all 32 signed bit-weights as ONE aggregate pass over the tf rows:
+    # the r5 plan exploded tf × 32 bit positions (≈128M rows at sf1.0)
+    # through an extra (doc_id, b) exchange; 32 conditional sums ride
+    # the single (doc_id) exchange instead — same values, two fewer
+    # passes and one fewer shuffle
+    wcols = [
         F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"w{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = tf.groupBy("doc_id").agg(*wcols)
+    code = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .cast("bigint")
-        .alias("simhash")
-    )
+        code = term if code is None else code + term
+    return sig.select("doc_id", code.cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -657,7 +700,7 @@ def _simhash_rep_candidates(
     ``(sim_a, sim_b, hamming)`` over distinct fingerprints; membership
     is ``(doc_id, simhash)`` (= sig).
     """
-    from pqc.skew import DEFAULT_BAND_CAP, capped_band_join
+    from pqc.skew import DEFAULT_BAND_CAP
 
     reps = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
     band_keys = F.array(
@@ -673,17 +716,21 @@ def _simhash_rep_candidates(
         reps.select("simhash", "rep_id", F.explode(band_keys).alias("band"))
         .select("simhash", "rep_id", "band.band_idx", "band.band_val")
     )
-    cold, hot = capped_band_join(bk, ("band_idx", "band_val"), cap or DEFAULT_BAND_CAP)
-    cold = pin(cold)
-    a = cold.alias("a")
-    b = cold.alias("b")
+    # fused hot-cap + bucket-local pair generation (one shuffle; see
+    # _minhash_rep_candidates — same guard semantics as the r5
+    # capped_band_join + two-sided self-join, 3× fewer band passes)
+    c = cap or DEFAULT_BAND_CAP
+    buckets = bk.groupBy("band_idx", "band_val").agg(
+        F.collect_list(F.struct("simhash", "rep_id")).alias("members")
+    )
+    hot = buckets.filter(F.size("members") > c).select(
+        "band_idx", "band_val", F.size("members").alias("n_members")
+    )
     rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
-        )
+        buckets.filter((F.size("members") <= c) & (F.size("members") >= 2))
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.rep_id") < F.col("b.rep_id"))
         .select(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
@@ -772,15 +819,40 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     necessity, O(1) data to the driver.
     """
     # materialize the edge list ONCE: every round's joins + the
-    # convergence count would otherwise re-execute the caller's edge
+    # convergence probe would otherwise re-execute the caller's edge
     # plan (for near_dup_clusters: the banded SimHash self-join)
-    # 2-3× per round
-    edges = edges.localCheckpoint(eager=False)
+    # 2-3× per round. Repartitioned to core count first — the edge plan
+    # otherwise checkpoints with its last shuffle's partitioning (152
+    # post-AQE partitions at sf1.0), and every round re-schedules that
+    # many tasks for a scan whose work fits the cores exactly.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(par).localCheckpoint(eager=False)
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    from pyspark.sql.types import NumericType
+
+    # numeric ids (every production caller) get the cheap monotone-sum
+    # convergence probe; non-numeric ids keep the join-count probe
+    numeric_ids = isinstance(
+        labels.schema["cluster_id"].dataType, NumericType
+    )
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
     converged = False
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(CC_MAX_ITERS):
+        # labels are |V| rows next to |E| edges — broadcast them so the
+        # cached edge partitions are scanned in place and the min
+        # aggregate partial-combines map-side (guide §3.1); without the
+        # hint the checkpointed relation has no size estimate and the
+        # planner shuffles all edges every round
         nbr_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("doc_id", "dst")), "dst"
+            )
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
@@ -798,7 +870,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         ptr = stepped.select(
             F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("parent")
         )
-        # lazy checkpoint: the convergence count below is the action
+        # lazy checkpoint: the convergence probe below is the action
         # that materializes it — eager=True would cost a second job per
         # round (measured ~2× the loop's scheduling floor at toy scale)
         new_labels = (
@@ -806,12 +878,24 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .select("doc_id", F.coalesce("parent", "cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cid")
-            .join(labels, "doc_id")
-            .filter(F.col("new_cid") != F.col("cluster_id"))
-            .count()
-        )
+        # convergence probe: labels are monotone non-increasing, so the
+        # label sum strictly decreases iff any label changed — one
+        # scalar aggregate over |V| rows replaces the r5 per-round
+        # equi-join of old vs new labels (half the per-round jobs).
+        # Decimal sum: exact at any corpus size (1e12 ids overflow a
+        # bigint sum), O(1) bytes to the driver. Non-numeric ids fall
+        # back to the join-count probe.
+        if numeric_ids:
+            label_sum = _label_sum(new_labels)
+            changed = 1 if label_sum != prev_sum else 0
+            prev_sum = label_sum
+        else:
+            changed = (
+                new_labels.withColumnRenamed("cluster_id", "new_cid")
+                .join(labels, "doc_id")
+                .filter(F.col("new_cid") != F.col("cluster_id"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             converged = True

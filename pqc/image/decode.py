@@ -181,6 +181,19 @@ def decode_integrity(images: DataFrame) -> DataFrame:
         "thumb_mean": "float64",
     }
 
+    # degenerate-parallelism guard: a LIMITed or single-split input
+    # otherwise runs the whole decode pass — and the per-task Python
+    # worker/codegen warmup — on ONE task (guide §2.5: unsplittable
+    # input; fix = repartition right after the read). Real corpus scans
+    # arrive in ≥ cores splits and never shuffle a byte; only inputs
+    # already collapsed to fewer splits than cores (e.g. a LIMIT) pay
+    # one bounded shuffle of that small input. This also makes a
+    # LIMIT-warmup pass reach every worker instead of one.
+    spark = images.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if images.rdd.getNumPartitions() < par:
+        images = images.repartition(par)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             checks = [

@@ -33,6 +33,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to engine parallelism for compute-bound
+    consumers of small inputs.
+
+    The driver testdata tables are single-file parquet with ONE row
+    group (checked at sf0.1 and sf1.0), and parquet row groups are the
+    unit of split: whatever ``spark.sql.files.maxPartitionBytes`` says,
+    the scan yields one non-empty task per row group. Every downstream
+    projection fused into that scan stage — tokenize/explode/md5 for
+    the documents family, the decimal dot-product folds for the
+    embeddings family — therefore ran SERIALLY on one core (guide §2.5
+    "input skew": one unsplittable input; fix = repartition right after
+    the read). One explicit exchange of a few MB buys ``n``-way
+    parallelism for the expensive stage that follows.
+
+    ``n`` defaults to the session's default parallelism (scale-adaptive:
+    tracks $SPARK_GRAFT_CPUS locally, executor count on a cluster —
+    never a constant). Only applied at call sites whose downstream
+    per-row work dwarfs one small shuffle; results are partition-order
+    independent everywhere by construction (decimal-exact aggregation,
+    total-order windows), so placement never changes values.
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

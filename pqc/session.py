@@ -44,15 +44,29 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        # initial (pre-AQE) shuffle partition count: 2× cores so AQE's
+        # skew splitting has headroom, coalesced down adaptively —
+        # scale-adaptive (tracks the core dial), never a constant
+        .config("spark.sql.shuffle.partitions", str(max(2 * n, 16)))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles all the way down instead of stopping at
-        # default parallelism — otherwise every tiny stage schedules N
-        # tasks and wall time grows with core count on small inputs
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its default (true): r2-r5 set it to
+        # false to squeeze scheduling overhead out of sub-second toy
+        # stages, but at the driver's sf1.0 tier it coalesced the
+        # byte-light, CPU-HEAVY reduce stages (md5 signature aggregates,
+        # decimal dot folds — KBs of data, seconds of compute) down to
+        # ONE task, serializing exactly the stages that needed the
+        # cores. Coalescing now floors at default parallelism unless
+        # partitions drop under minPartitionSize (1 MB) — the right
+        # trade at every tier once per-row compute, not bytes, is the
+        # bottleneck (guide §2.2: partition count must track work, and
+        # these stages' work does not track bytes).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled hash join where the per-partition build side
+        # fits — the band/self-join family is equi-join on short rows
+        # where sort-merge's two sorts are pure overhead (guide §3.1)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pqc.exprs import davg_sql, hash64, hash64_sql_duckdb
-from pqc.io import load_table
+from pqc.io import load_table, spread
 from pqc.registry import pin, register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
@@ -137,7 +137,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (stopword-ratio) vs the labeled lang —
     emitted as a confusion rollup. The n-gram scorer runs entirely in
     codegen'd array expressions (filter lambda), no Python."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     toks = tokens(F.col("text"))
@@ -251,15 +251,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id. Nothing leaves the JVM. The document-
     frequency join is the inverted-index shape every downstream
     salience/keyword extractor at 10^12 rows uses."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
-    # pinned: tok feeds BOTH aggregates — unpersisted, the scan +
-    # normalize + tokenize + explode (the query's dominant cost at
-    # corpus scale) executes twice
-    tok = pin(docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # pinned: tf feeds BOTH the rank input and the document-frequency
+    # aggregate — unpersisted, the scan + normalize + tokenize +
+    # explode + tf aggregate (the query's dominant cost at corpus
+    # scale) executes twice. df comes from tf, not the raw token table:
+    # tf's rows ARE the distinct (doc, term) pairs, so COUNT(*) per
+    # term equals COUNT(DISTINCT doc_id) without the countDistinct
+    # expand over the exploded tokens (one less wide shuffle).
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = pin(tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
     )
@@ -327,7 +331,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc partitions only — no global sort), then distinct. At 10^12
     docs the window never leaves its document, so this parallelizes
     per-doc exactly like the shingle pipeline."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     return winnow_fps(docs)
@@ -410,7 +414,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF, one low-cardinality shuffle."""
     from pqc.exprs import davg
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     norm = norm_text(F.col("text"))
@@ -491,7 +495,7 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is the thresholded production form. Pure array expressions,
     embarrassingly parallel, no shuffle — at 10^12 docs this is a scan-
     speed map with the verdict feeding a partitioned filter."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     tok = tokens(F.col("text"))
@@ -633,7 +637,7 @@ def decontamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cross-document partial overlaps (the seeded near-dup
     relatives of the eval ids), so the driver row checks a mixed
     result set."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     t = tokens(F.col("text"))
@@ -704,7 +708,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over 8-byte gram hashes — map-side combined, shuffle
     keyed on (doc_id), embarrassingly parallel at corpus
     scale."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     t = tokens(F.col("text"))
