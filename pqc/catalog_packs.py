@@ -731,7 +731,7 @@ def _claims_bulk_row(i: int) -> dict:
         else:
             lead = ("high in", "rich in", "a source of")[fam]
             phrase = f"{lead} {rng.choice(_CLAIM_TAILS)}"
-        if i % 20 < 2:  # half the fam-0 slots negated
+        if i % 20 < 2:  # the i%20<2 residues (one fam-0 and one fam-1 slot) negated
             phrase = f"{_NEGATORS[i % 4]} {phrase}"
         parts.append(phrase)
     parts.append(str(rng.choice(_CLAIM_FILL)))

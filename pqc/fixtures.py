@@ -278,12 +278,24 @@ def ensure_generated_parquet(
             for pdf in batches:
                 yield pd.DataFrame([row_fn(int(i)) for i in pdf["id"]])
 
+        # atomic publish (write to a pid-suffixed temp dir, rename into
+        # place), mirroring the IVF index cache: the r5 direct
+        # check-then-overwrite raced concurrent pqc sessions on this
+        # shared host, and the DuckDB oracles glob path/*.parquet
+        # without checking _SUCCESS (r5 ADVICE)
+        import shutil
+
+        tmp = f"{path}.build{os.getpid()}"
         (
             spark.range(0, n_rows, numPartitions=n_tasks)
             .mapInPandas(gen, schema=schema)
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, path)  # atomic; loser keeps winner's copy
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -95,6 +95,10 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("PQC_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("PQC_DRIVER_JAVA_OPTS", ""),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -97,7 +97,7 @@ FROM t GROUP BY lang
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting per language — all JVM-side array ops
     (split + size), no UDF; single low-cardinality shuffle."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     from pqc.exprs import davg
@@ -176,7 +176,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity, the deterministic core of the reference's structure
     acceptance gates (SURVEY §2.8 I7) re-targeted at corpus curation.
     Pure array expressions; embarrassingly parallel (no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     tok = tokens(F.col("text"))
@@ -203,7 +203,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup at 10^12 scale: dedup shuffles 8-byte fingerprints, never
     the payloads. For partial-overlap detection see
     `winnowing_fingerprints` (the rolling-hash window-min scheme)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     return docs.select("doc_id", hash64(norm_text(F.col("text"))).alias("fingerprint"))
@@ -571,7 +571,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes train/eval splits leak-proof and resumable. The portable
     md5-based hash64 (pqc/exprs.py) keeps the bucket assignment — and
     therefore the exact sampled id set — identical in the DuckDB twin."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
     bucket = F.pmod(
