@@ -969,11 +969,32 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree on every label via completely different algorithms.
     """
     sig = pin(_simhash_df(spark, sf_dir))
-    pairs = _simhash_pairs(sig)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = connected_components(sig.select("doc_id"), edges)
+    # CC runs on the REPRESENTATIVE graph, not the member graph: a
+    # member pair exists iff its two fingerprints are within the
+    # hamming ball (pairs are functions of the fingerprints, and
+    # same-fingerprint members are a clique), so member-graph
+    # components are exactly the rep-graph components expanded through
+    # group membership — and the component's min doc_id equals the min
+    # rep_id, because every rep IS its group's min. The r5 plan
+    # expanded the full member pair set (≈4M rows / 8M directed edges
+    # at sf1.0) only to contract it again; the rep graph is orders of
+    # magnitude smaller on duplicate-heavy corpora and identical in
+    # the labels it induces.
+    rep_pairs, _membership, _hot = _simhash_rep_candidates(sig)
+    reps = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    edges = rep_pairs.select(
+        F.col("ra").alias("src"), F.col("rb").alias("dst")
+    ).unionByName(rep_pairs.select(F.col("rb").alias("src"), F.col("ra").alias("dst")))
+    rep_labels = connected_components(
+        reps.select(F.col("rep_id").alias("doc_id")), edges
+    )
+    labels = (
+        sig.join(reps, "simhash")
+        .join(
+            rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+        )
+        .select("doc_id", "cluster_id")
+    )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
