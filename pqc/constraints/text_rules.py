@@ -74,6 +74,13 @@ def _synonym_dim(ctx: SuiteContext) -> DataFrame:
         F.col("type").alias("syn_type"),
         F.lower(F.col("synonym")).alias("variant"),
         pat.alias("pattern"),
+        # the variant's first token appears LITERALLY in any regex
+        # match (the pattern's flexibility is only in the separator
+        # runs between tokens), so a substring test on it is a
+        # theorem-true prefilter for the boundary regex — evaluated
+        # first in the join condition, it spares the regex engine for
+        # the overwhelming majority of (segment, variant) combinations
+        F.regexp_extract(F.lower(F.col("synonym")), r"^[^\s-]+", 0).alias("tok0"),
     )
 
 
@@ -97,7 +104,10 @@ def screen_hits(ctx: SuiteContext) -> DataFrame:
     uniq = ctx.track_persist(segs.select("segment").dropDuplicates())
     dim = F.broadcast(_synonym_dim(ctx))
 
-    exact = uniq.join(dim, F.expr("segment rlike pattern")).select(
+    exact = uniq.join(
+        dim,
+        F.col("segment").contains(F.col("tok0")) & F.expr("segment rlike pattern"),
+    ).select(
         "segment",
         "canonical",
         "syn_type",
